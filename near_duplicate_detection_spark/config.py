@@ -1,0 +1,75 @@
+"""Engine configuration + config-hash chaining.
+
+The reference pins stage validity to a version string chaining the script
+VERSION constant with the stage's parameters and the upstream stage's
+parameters (reference: ndd/extract_images.py:166-178, ndd/extract_features.py:74-88).
+Here the same idea is an explicit ``config_hash`` per stage: a sha256 over the
+stage's own parameters concatenated with the upstream stage's hash. Equality of
+a stored lineage row's hash with the expected hash is the resume predicate
+(reference: ndd/extract_features.py:88).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+ENGINE_VERSION = "20260816"
+
+
+@dataclass(frozen=True)
+class NDDConfig:
+    """Fixed shingle/signature config (the BASELINE.json 'same config' contract)."""
+
+    # --- stage 1: extraction + signatures ---
+    shingle_k: int = 5               # tokens per shingle (w-shingling)
+    num_perms: int = 128             # MinHash permutations
+    simhash_bits: int = 64           # SimHash fingerprint width
+    # --- stage 2: LSH + verify ---
+    lsh_bands: int = 32              # b
+    lsh_rows: int = 4                # r; b*r must equal num_perms
+    jaccard_threshold: float = 0.6   # verify stage acceptance
+    bucket_pair_ceiling: int = 2_000_000  # max pairs a single LSH bucket may emit
+    max_bucket_size: int = 2_000     # docs per (band, hash) bucket before flagging
+    # --- stage 2b: substring (suffix-array) pass ---
+    substring_window: int = 64       # chars per anchored fingerprint window
+    substring_anchor_gram: int = 8   # g-gram whose hash picks anchor positions
+    substring_anchor_mod: int = 8    # anchor density: 1 per `mod` chars expected
+    substring_min_len: int = 200     # min shared run to link a pair
+    # --- layout ---
+    num_buckets: int = 16            # url-hash partitions for lineage granularity
+    shuffle_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.lsh_bands * self.lsh_rows != self.num_perms:
+            raise ValueError(
+                f"lsh_bands*lsh_rows ({self.lsh_bands}*{self.lsh_rows}) "
+                f"must equal num_perms ({self.num_perms})"
+            )
+
+    # -- config-hash chaining (reference .done semantics, extract_features.py:74-88) --
+
+    def _hash(self, payload: dict, upstream: str = "") -> str:
+        blob = json.dumps(payload, sort_keys=True) + "|" + upstream + "|" + ENGINE_VERSION
+        return hashlib.sha256(blob.encode("utf-8")).hexdigest()[:16]
+
+    def stage1_hash(self) -> str:
+        d = asdict(self)
+        keys = ("shingle_k", "num_perms", "simhash_bits", "num_buckets")
+        return self._hash({k: d[k] for k in keys})
+
+    def stage2_hash(self) -> str:
+        d = asdict(self)
+        keys = ("lsh_bands", "lsh_rows", "jaccard_threshold",
+                "bucket_pair_ceiling", "max_bucket_size")
+        return self._hash({k: d[k] for k in keys}, upstream=self.stage1_hash())
+
+    def stage2b_hash(self) -> str:
+        d = asdict(self)
+        keys = ("substring_window", "substring_anchor_gram",
+                "substring_anchor_mod", "substring_min_len")
+        return self._hash({k: d[k] for k in keys}, upstream=self.stage1_hash())
+
+    def stage3_hash(self) -> str:
+        return self._hash({}, upstream=self.stage2_hash() + self.stage2b_hash())

@@ -1,0 +1,51 @@
+"""Deterministic vectorized hashing used by every signature operator.
+
+The reference hashes nothing (its "signature" is a CNN embedding,
+ndd/extract_features.py:26-32); the engine's signatures are hash-based
+(MinHash/SimHash), so a single stable 64-bit string hash is the foundation.
+
+``hash_str_array`` uses pandas' SipHash-1-3 object-array hasher with the
+library-default fixed key: vectorized in C, deterministic across processes
+and runs (no PYTHONHASHSEED dependence), uint64 output. Permutations for
+MinHash are universal multiply-add hashes over that base hash, generated
+from a seeded PRNG so the whole signature scheme is pinned by config.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_MERSENNE_P = (1 << 61) - 1  # 2^61-1, prime; universal-hash modulus
+
+
+def hash_str_array(values: np.ndarray | list) -> np.ndarray:
+    """Stable uint64 hash of an object array of strings (vectorized)."""
+    arr = np.asarray(values, dtype=object)
+    if arr.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(arr)
+
+
+def perm_params(num_perms: int, seed: int = 0x5EED) -> tuple[np.ndarray, np.ndarray]:
+    """(a, b) coefficients for num_perms universal hashes h_i(x) = (a_i*x + b_i) mod p.
+
+    Seeded → the signature family is part of the config, same everywhere.
+    """
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE_P, size=num_perms, dtype=np.uint64)
+    b = rng.randint(0, _MERSENNE_P, size=num_perms, dtype=np.uint64)
+    return a, b
+
+
+def apply_perms(hashes: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(m hashes, k perms) -> m×k uint64 matrix of permuted hashes.
+
+    Computed in uint64 with wraparound then reduced mod 2^61-1; wraparound of
+    the product is itself a fixed deterministic function, which is all MinHash
+    needs (a fixed random-ish permutation family), and it keeps the whole
+    thing a single vectorized numpy expression.
+    """
+    m = hashes.astype(np.uint64)[:, None]  # m×1
+    prod = m * a[None, :] + b[None, :]     # uint64 wraparound, deterministic
+    return prod % np.uint64(_MERSENNE_P)

@@ -1,0 +1,211 @@
+"""MinHash / SimHash signature extraction — Arrow-batched, fully vectorized.
+
+This is the engine's analog of the reference's per-frame feature extractor
+(ndd/extract_features.py:26-32: model.predict + L2-normalize, one vector per
+record). Here one record = one page; the "vector" is a k-permutation MinHash
+signature plus a 64-bit SimHash fingerprint over the normalized token stream.
+
+Vectorization strategy (the input_hint forbids per-row Python): each Arrow
+batch is processed as ONE flat numpy problem —
+
+  1. all shingles of all docs in the batch are hashed in one
+     ``pd.util.hash_array`` call (C-speed SipHash);
+  2. the k universal permutations are applied to the whole flat hash array
+     (chunked so the m×k intermediate stays ~64 MB);
+  3. per-doc minima are taken with ``np.minimum.reduceat`` over doc offsets —
+     a segmented min, no Python loop over documents;
+  4. SimHash bit-votes use the same segmented trick with ``np.add.reduceat``.
+
+The permutation family is seeded (functions/hashing.py) so signatures are a
+pure function of (text, config) — the reference's determinism contract
+(.done version equality, ndd/extract_features.py:88) carried over.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from near_duplicate_detection_spark.config import NDDConfig
+from near_duplicate_detection_spark.functions.hashing import (
+    _MERSENNE_P,
+    apply_perms,
+    hash_str_array,
+    perm_params,
+)
+from near_duplicate_detection_spark.functions.text import tokenize
+
+# fixed odd mix constants for collapsing r signature values into one band hash
+_BAND_MIX_SEED = 0xBA4D
+
+
+def shingle_strings(tokens: list[str], k: int) -> list[str]:
+    """w-shingling: k-token windows joined by a single space.
+
+    Graft analog of the reference's 1-frame-per-second shot sampling
+    (ndd/extract_images.py:43: range(start_ms, end_ms, 1000)) — the operator
+    that turns one record into its constituent sub-records. A doc shorter
+    than k tokens yields its whole token stream as one shingle so every
+    non-empty doc has a signature.
+    """
+    n = len(tokens)
+    if n == 0:
+        return [""]
+    if n <= k:
+        return [" ".join(tokens)]
+    return [" ".join(tokens[i : i + k]) for i in range(n - k + 1)]
+
+
+def _segmented_minhash(
+    flat_hashes: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Per-document MinHash over a flat concatenated hash array.
+
+    offsets[i] = start index of doc i in flat_hashes. Returns n_docs×k uint64.
+    Chunked over docs so the (m_chunk × k) permuted matrix stays bounded.
+    """
+    k = len(a)
+    n_docs = len(offsets)
+    out = np.empty((n_docs, k), dtype=np.uint64)
+    if len(flat_hashes) == 0:
+        out[:] = np.uint64(_MERSENNE_P)
+        return out
+    # chunk boundaries in doc space keeping ~8M matrix cells per chunk
+    target_cells = 8_000_000
+    ends = np.append(offsets[1:], len(flat_hashes))
+    doc_start = 0
+    while doc_start < n_docs:
+        doc_end = doc_start
+        cells = 0
+        while doc_end < n_docs and cells < target_cells:
+            cells += int(ends[doc_end] - offsets[doc_end]) * k
+            doc_end += 1
+        lo, hi = int(offsets[doc_start]), int(ends[doc_end - 1])
+        permuted = apply_perms(flat_hashes[lo:hi], a, b)  # (hi-lo)×k
+        local_off = (offsets[doc_start:doc_end] - lo).astype(np.intp)
+        out[doc_start:doc_end] = np.minimum.reduceat(permuted, local_off, axis=0)
+        doc_start = doc_end
+    return out
+
+
+def _segmented_simhash(
+    flat_hashes: np.ndarray, offsets: np.ndarray, bits: int = 64
+) -> np.ndarray:
+    """Per-document SimHash (unweighted bit-vote over token hashes) → uint64."""
+    n_docs = len(offsets)
+    if len(flat_hashes) == 0:
+        return np.zeros(n_docs, dtype=np.uint64)
+    shifts = np.arange(bits, dtype=np.uint64)
+    ends = np.append(offsets[1:], len(flat_hashes))
+    lengths = (ends - offsets).astype(np.int64)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    target_cells = 16_000_000
+    doc_start = 0
+    while doc_start < n_docs:
+        doc_end = doc_start
+        cells = 0
+        while doc_end < n_docs and cells < target_cells:
+            cells += int(lengths[doc_end]) * bits
+            doc_end += 1
+        lo, hi = int(offsets[doc_start]), int(ends[doc_end - 1])
+        bit_mat = ((flat_hashes[lo:hi, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.int32
+        )
+        local_off = (offsets[doc_start:doc_end] - lo).astype(np.intp)
+        votes = np.add.reduceat(bit_mat, local_off, axis=0)  # ones count per bit
+        half = (lengths[doc_start:doc_end, None] / 2.0)
+        fp_bits = (votes > half).astype(np.uint64)  # majority-1 → bit set
+        out[doc_start:doc_end] = (fp_bits << shifts[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
+        doc_start = doc_end
+    return out
+
+
+def band_hashes(minhash_rows: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """n_docs×k signature matrix → n_docs×bands uint64 band hashes.
+
+    Each band collapses its r signature values with a seeded universal hash —
+    the LSH 'band fingerprint' joined on in stage 2 (SURVEY J3).
+    """
+    n, k = minhash_rows.shape
+    assert bands * rows == k
+    mix_a, mix_b = perm_params(rows, seed=_BAND_MIX_SEED)
+    reshaped = minhash_rows.reshape(n, bands, rows)
+    mixed = (reshaped * mix_a[None, None, :] + mix_b[None, None, :]) % np.uint64(
+        _MERSENNE_P
+    )
+    return mixed.sum(axis=2, dtype=np.uint64) % np.uint64(_MERSENNE_P)
+
+
+def compute_signatures_batch(
+    urls: pd.Series, texts: pd.Series, cfg: NDDConfig, a: np.ndarray, b: np.ndarray
+) -> pd.DataFrame:
+    """One Arrow batch → signature rows (the body of the stage-1 mapInPandas)."""
+    n = len(urls)
+    tokens_per_doc: list[list[str]] = [tokenize(t or "") for t in texts]
+    n_tokens = np.array([len(t) for t in tokens_per_doc], dtype=np.int64)
+
+    # ---- shingles: flat across the batch, hashed once ----
+    all_shingles: list[str] = []
+    sh_offsets = np.empty(n, dtype=np.int64)
+    for i, toks in enumerate(tokens_per_doc):
+        sh_offsets[i] = len(all_shingles)
+        all_shingles.extend(shingle_strings(toks, cfg.shingle_k))
+    sh_hashes = hash_str_array(all_shingles)
+
+    minhash_mat = _segmented_minhash(sh_hashes, sh_offsets, a, b)
+    bands_mat = band_hashes(minhash_mat, cfg.lsh_bands, cfg.lsh_rows)
+
+    # distinct shingle set per doc (for the exact-Jaccard verify join)
+    sh_ends = np.append(sh_offsets[1:], len(sh_hashes))
+    shingle_sets = [
+        np.unique(sh_hashes[sh_offsets[i] : sh_ends[i]]).view(np.int64)
+        for i in range(n)
+    ]
+
+    # ---- simhash over token hashes ----
+    all_tokens: list[str] = []
+    tok_offsets = np.empty(n, dtype=np.int64)
+    for i, toks in enumerate(tokens_per_doc):
+        tok_offsets[i] = len(all_tokens)
+        all_tokens.extend(toks if toks else [""])
+    tok_hashes = hash_str_array(all_tokens)
+    simhash_vec = _segmented_simhash(tok_hashes, tok_offsets, cfg.simhash_bits)
+
+    return pd.DataFrame(
+        {
+            "url": urls.values,
+            "n_tokens": n_tokens,
+            "shingles": shingle_sets,
+            "minhash": list(minhash_mat.view(np.int64)),
+            "simhash": simhash_vec.view(np.int64),
+            "bands": list(bands_mat.view(np.int64)),
+        }
+    )
+
+
+SIGNATURE_SCHEMA = (
+    "url string, n_tokens bigint, shingles array<bigint>, "
+    "minhash array<bigint>, simhash bigint, bands array<bigint>"
+)
+
+
+def signature_map_fn(cfg: NDDConfig, text_col: str = "text"):
+    """mapInPandas function: (url, <text_col>) batches → signature rows.
+
+    Broadcast-free: permutation params are recomputed per executor from the
+    seeded generator (cheap, deterministic) — the reference's load-model-once
+    pattern (ndd/extract_features.py:35-38) without shipping state.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b = perm_params(cfg.num_perms)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield compute_signatures_batch(pdf["url"], pdf[text_col], cfg, a, b)
+
+    return fn

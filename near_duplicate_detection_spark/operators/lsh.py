@@ -1,0 +1,108 @@
+"""LSH band equi-join candidate generation.
+
+Replaces the reference's brute-force O(N)-per-query distance scan
+(ndd/server_ndd.py:104-117, dense matmul over the whole index) with banding:
+docs sharing any (band_id, band_hash) bucket become candidate pairs — an
+equi-join Catalyst can shuffle-partition, instead of an all-pairs cross join.
+
+Shuffle budget: ONE wide shuffle (groupBy band key), pair expansion map-side
+via higher-order array functions (JVM codegen, no Python), then one dedup
+shuffle on the canonical pair. Singleton buckets — the overwhelming majority —
+are dropped by the post-aggregation size filter before any pair is
+materialized.
+
+Skew control (SURVEY §4.2): boilerplate-heavy shingles / hot domains produce
+giant band buckets whose pair expansion is quadratic. Buckets above
+``max_bucket_size`` are excluded from pair expansion and FLAGGED into the
+metrics table (no silent caps) — callers route them to the SimHash-prefix
+fallback rather than dropping recall silently.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from near_duplicate_detection_spark.config import NDDConfig
+
+# map-side pair expansion: all unordered pairs of a bucket's url array,
+# canonicalized (least, greatest) — SURVEY J6
+_PAIRS_EXPR = """
+flatten(
+  transform(urls, (x, i) ->
+    transform(slice(urls, i + 2, size(urls) - i - 1), y ->
+      named_struct('url_a', least(x, y), 'url_b', greatest(x, y)))))
+"""
+
+
+def explode_bands(signatures: DataFrame) -> DataFrame:
+    """signatures(url, bands) → (url, band_id, band_hash)."""
+    return signatures.select(
+        "url", F.posexplode("bands").alias("band_id", "band_hash")
+    )
+
+
+def band_buckets(signatures: DataFrame, cfg: NDDConfig) -> DataFrame:
+    """All multi-member LSH buckets: (band_id, band_hash, urls, bucket_size)."""
+    return (
+        explode_bands(signatures)
+        .groupBy("band_id", "band_hash")
+        .agg(F.collect_list("url").alias("urls"))
+        .withColumn("bucket_size", F.size("urls"))
+        .where(F.col("bucket_size") >= 2)
+    )
+
+
+def candidate_pairs(
+    signatures: DataFrame, cfg: NDDConfig
+) -> tuple[DataFrame, DataFrame]:
+    """→ (pairs(url_a, url_b), flagged_buckets(band_id, band_hash, bucket_size)).
+
+    pairs is distinct on the canonical (url_a < url_b) key across all bands.
+    """
+    buckets = band_buckets(signatures, cfg)
+    flagged = buckets.where(F.col("bucket_size") > cfg.max_bucket_size).select(
+        "band_id", "band_hash", "bucket_size"
+    )
+    pairs = (
+        buckets.where(F.col("bucket_size") <= cfg.max_bucket_size)
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select("p.url_a", "p.url_b")
+        .dropDuplicates(["url_a", "url_b"])
+    )
+    return pairs, flagged
+
+
+def simhash_fallback_pairs(
+    signatures: DataFrame, flagged: DataFrame, cfg: NDDConfig, prefix_bits: int = 16
+) -> DataFrame:
+    """Recall fallback for members of over-ceiling LSH buckets.
+
+    Docs whose band landed in a flagged bucket are re-bucketed by a SimHash
+    prefix (near-identical pages share high simhash bits); pair expansion then
+    runs under the same ceiling. This keeps hot-boilerplate clusters linkable
+    without the quadratic blowup of the original giant bucket — the flagged
+    metrics row still records that a cap was applied.
+    """
+    members = (
+        explode_bands(signatures)
+        .join(flagged.select("band_id", "band_hash"), ["band_id", "band_hash"])
+        .select("url")
+        .distinct()
+    )
+    sims = signatures.join(members, "url").select(
+        "url",
+        F.shiftrightunsigned(
+            F.col("simhash"), 64 - prefix_bits
+        ).alias("sim_prefix"),
+    )
+    return (
+        sims.groupBy("sim_prefix")
+        .agg(F.collect_list("url").alias("urls"))
+        .where(
+            (F.size("urls") >= 2) & (F.size("urls") <= cfg.max_bucket_size)
+        )
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select("p.url_a", "p.url_b")
+        .dropDuplicates(["url_a", "url_b"])
+    )

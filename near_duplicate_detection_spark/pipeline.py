@@ -1,0 +1,281 @@
+"""Three-stage near-duplicate pipeline over a `pages` table.
+
+Engine equivalent of the reference's index-build write path
+(ndd/server_ndd.py:158-268, one process, whole index in RAM) re-expressed as
+chained batch jobs over stage tables, each committing per-partition lineage
+rows so a killed run resumes without recomputing finished work (the
+reference's `.done` protocol, distributed — SURVEY §3.2):
+
+  stage 1   pages → signatures            (bucketed by url hash; per-bucket lineage)
+  stage 2   signatures → verified pairs   (LSH candidates + exact-Jaccard verify)
+  stage 2b  pages → substring pairs       (rolling windows + suffix-array verify)
+  stage 3   pairs → clusters              (connected components + representative)
+
+Scale posture: stage 1 is a map-only pass (zero shuffles — signatures are
+computed per Arrow batch and written partitioned). Stage 2 has exactly one
+wide shuffle for bucketing plus one dedup and two verify joins, all on keys
+Catalyst hash-partitions; AQE handles residual skew after the explicit
+bucket-size ceiling. Stage 3 shuffles only the duplicate-pair edge set.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from near_duplicate_detection_spark.config import NDDConfig
+from near_duplicate_detection_spark.functions.signatures import (
+    SIGNATURE_SCHEMA,
+    signature_map_fn,
+)
+from near_duplicate_detection_spark.lineage import StageCatalog
+from near_duplicate_detection_spark.operators.connected_components import (
+    clusters_table,
+    connected_components,
+)
+from near_duplicate_detection_spark.operators.lsh import (
+    candidate_pairs,
+    simhash_fallback_pairs,
+)
+from near_duplicate_detection_spark.operators.substring import (
+    substring_candidates,
+    verify_substring_pairs,
+)
+from near_duplicate_detection_spark.operators.verify import verify_pairs
+
+
+class NDDPipeline:
+    def __init__(self, spark: SparkSession, cfg: NDDConfig, base_dir: str):
+        self.spark = spark
+        self.cfg = cfg
+        self.catalog = StageCatalog(spark, base_dir)
+
+    # ---------- stage 1 ----------
+
+    def stage1_signatures(self, pages: DataFrame, resume: bool = True) -> None:
+        """pages → signatures, partitioned by url-hash bucket with per-bucket
+        lineage (reference P1 predicate, ndd/extract_features.py:88)."""
+        cfg, cat = self.cfg, self.catalog
+        h = cfg.stage1_hash()
+        done = cat.completed_partitions("signatures", h) if resume else set()
+        pending = sorted(set(range(cfg.num_buckets)) - done)
+        if not pending:
+            return
+        t0 = time.monotonic()
+        bucket = F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int")
+        todo = (
+            pages.withColumn("bucket", bucket)
+            .where(F.col("bucket").isin([int(b) for b in pending]))
+        )
+        sigs = (
+            todo.select("url", "text", "bucket")
+            .mapInPandas(
+                _with_passthrough(signature_map_fn(cfg)),
+                schema=SIGNATURE_SCHEMA + ", bucket int",
+            )
+        )
+        cat.write(sigs, "signatures", partition_by=["bucket"])
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        counts = {
+            r["bucket"]: r["n"]
+            for r in cat.read("signatures")
+            .where(F.col("bucket").isin([int(b) for b in pending]))
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        cat.mark_complete(
+            "signatures", h, {b: counts.get(b, 0) for b in pending}, wall_ms
+        )
+        cat.add_metrics(
+            "signatures",
+            {"buckets_computed": len(pending), "wall_ms": wall_ms},
+        )
+
+    # ---------- stage 2 ----------
+
+    def stage2_pairs(self, resume: bool = True) -> None:
+        cfg, cat = self.cfg, self.catalog
+        h = cfg.stage2_hash()
+        if resume and cat.completed_partitions("pairs", h):
+            return
+        t0 = time.monotonic()
+        sigs = cat.read("signatures")
+        cands, flagged = candidate_pairs(sigs, cfg)
+        flagged = flagged.localCheckpoint()
+        n_flagged = flagged.count()
+        if n_flagged:
+            fallback = simhash_fallback_pairs(sigs, flagged, cfg)
+            cands = cands.union(fallback).dropDuplicates(["url_a", "url_b"])
+        verified = verify_pairs(cands, sigs, cfg)
+        cat.write(verified, "pairs")
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        n_pairs = cat.read("pairs").count()
+        cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
+        cat.add_metrics(
+            "pairs",
+            {
+                "verified_pairs": n_pairs,
+                "flagged_buckets": n_flagged,
+                "wall_ms": wall_ms,
+            },
+        )
+
+    # ---------- stage 2b ----------
+
+    def stage2b_substring(self, pages: DataFrame, resume: bool = True) -> None:
+        cfg, cat = self.cfg, self.catalog
+        h = cfg.stage2b_hash()
+        if resume and cat.completed_partitions("substring_pairs", h):
+            return
+        t0 = time.monotonic()
+        cands, flagged = substring_candidates(pages, cfg)
+        # pairs already verified by stage 2 don't need the expensive LCS pass
+        if cat.exists("pairs"):
+            cands = cands.join(
+                cat.read("pairs").select("url_a", "url_b"),
+                ["url_a", "url_b"],
+                "left_anti",
+            )
+        hits = verify_substring_pairs(cands, pages, cfg)
+        cat.write(hits, "substring_pairs")
+        flagged = flagged.localCheckpoint()
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        n = cat.read("substring_pairs").count()
+        cat.mark_complete("substring_pairs", h, {-1: n}, wall_ms)
+        cat.add_metrics(
+            "substring_pairs",
+            {
+                "substring_pairs": n,
+                "flagged_window_buckets": flagged.count(),
+                "wall_ms": wall_ms,
+            },
+        )
+
+    # ---------- stage 3 ----------
+
+    def stage3_clusters(self, pages: DataFrame, resume: bool = True) -> None:
+        cfg, cat = self.cfg, self.catalog
+        h = cfg.stage3_hash()
+        if resume and cat.completed_partitions("clusters", h):
+            return
+        t0 = time.monotonic()
+        edges = cat.read("pairs").select("url_a", "url_b")
+        if cat.exists("substring_pairs"):
+            edges = edges.union(
+                cat.read("substring_pairs").select("url_a", "url_b")
+            )
+        labels = connected_components(edges)
+        clusters = clusters_table(labels, pages.select("url"))
+        cat.write(clusters, "clusters")
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        n = cat.read("clusters").count()
+        n_multi = (
+            cat.read("clusters")
+            .groupBy("cluster_id")
+            .count()
+            .where("count > 1")
+            .count()
+        )
+        cat.mark_complete("clusters", h, {-1: n}, wall_ms)
+        cat.add_metrics(
+            "clusters",
+            {"rows": n, "multi_doc_clusters": n_multi, "wall_ms": wall_ms},
+        )
+
+    # ---------- full build ----------
+
+    def run(
+        self, pages: DataFrame, resume: bool = True, substring_pass: bool = True
+    ) -> DataFrame:
+        self.stage1_signatures(pages, resume)
+        self.stage2_pairs(resume)
+        if substring_pass:
+            self.stage2b_substring(pages, resume)
+        self.stage3_clusters(pages, resume)
+        return self.catalog.read("clusters")
+
+
+def _with_passthrough(sig_fn):
+    """Wrap the signature map fn to carry the bucket column through."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bucket_of = dict(zip(pdf["url"], pdf["bucket"]))
+            for out in sig_fn(iter([pdf])):
+                out = out.copy()
+                out["bucket"] = out["url"].map(bucket_of).astype("int32")
+                yield out
+
+    return fn
+
+
+# ---------- flagship read path (reference SURVEY §3.1) ----------
+
+
+def query_top_k(
+    spark: SparkSession,
+    catalog: StageCatalog,
+    cfg: NDDConfig,
+    query_text: str,
+    k: int = 30,
+) -> DataFrame:
+    """Top-k near-duplicates of an ad-hoc text, one per cluster.
+
+    Engine equivalent of the reference's similarity query
+    (ndd/server_ndd.py:97-156): signature probe (same UDF as indexing) →
+    LSH band broadcast-join (replaces the O(N) matmul) → exact-Jaccard
+    verify → keep-first per cluster (W1) → orderBy + limit (W2/W4,
+    Catalyst plans TakeOrderedAndProject).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from near_duplicate_detection_spark.functions.hashing import perm_params
+    from near_duplicate_detection_spark.functions.signatures import (
+        compute_signatures_batch,
+    )
+    from near_duplicate_detection_spark.operators.lsh import explode_bands
+
+    a, b = perm_params(cfg.num_perms)
+    qsig = compute_signatures_batch(
+        pd.Series(["query://q"]), pd.Series([query_text]), cfg, a, b
+    )
+    q_bands = [
+        (i, int(h)) for i, h in enumerate(qsig["bands"].iloc[0])
+    ]
+    q_shingles = [int(s) for s in qsig["shingles"].iloc[0]]
+
+    bands_df = spark.createDataFrame(q_bands, "band_id int, band_hash bigint")
+    sigs = catalog.read("signatures")
+    candidates = (
+        explode_bands(sigs)
+        .join(F.broadcast(bands_df), ["band_id", "band_hash"])
+        .select("url")
+        .distinct()
+    )
+    q_arr = F.array(*[F.lit(s).cast("long") for s in q_shingles])
+    inter = F.size(F.array_intersect(F.col("shingles"), q_arr))
+    union = F.size("shingles") + F.lit(len(q_shingles)) - inter
+    scored = (
+        candidates.join(sigs.select("url", "shingles"), "url")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .select("url", "jaccard")
+    )
+    clusters = catalog.read("clusters").select("url", "cluster_id")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("cluster_id").orderBy(F.desc("jaccard"), F.asc("url"))
+    return (
+        scored.join(clusters, "url", "left")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy(F.desc("jaccard"), F.asc("url"))
+        .limit(k)
+    )

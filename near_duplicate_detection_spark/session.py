@@ -1,0 +1,47 @@
+"""SparkSession construction for the engine.
+
+Local mode is the sandbox proxy for a multi-executor cluster; the settings
+below are the ones that survive a scale-up: AQE on (runtime coalesce + skew
+join splitting), shuffle partitions sized to parallelism, Arrow enabled for
+every pandas-UDF boundary, UTC session timezone so results compare bit-stable
+against external oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "near_duplicate_detection_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
+    # parallelism-derived default: ~1 shuffle partition per core locally;
+    # on a real cluster this would be 2-3x total executor cores.
+    if shuffle_partitions is None:
+        cores = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        shuffle_partitions = 32 if cores == "*" else max(int(cores), 8)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
