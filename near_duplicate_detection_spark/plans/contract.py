@@ -1,0 +1,584 @@
+"""Driver-contract query catalog: SURVEY §2 operators on the shared test
+tables, each as (spark_fn, oracle_sql) where the oracle is ANSI SQL DuckDB
+runs on the same parquet views.
+
+Column-name parity rule: every computed column is aliased IDENTICALLY in the
+Spark plan and the SQL so the driver's order-insensitive value-hash matches.
+Floating aggregates are rounded on BOTH sides (driver hashes exact values).
+Every query with a deterministic LIMIT carries a full tiebreak ORDER BY.
+
+Reference citations per query are in each docstring (file:line into
+/root/reference)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------- helpers
+
+_STOPLIST = ["the", "a", "of", "and", "to", "in"]
+_CANON = [10.0, 30.0, 60.0, 90.0]
+_CANON_LABELS = ["low", "mid", "high", "top"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_window_dedup_topk(spark, sf_dir):
+    """W1/W2/W4 (server_ndd.py:127-141,117; client_flask.py:123-124):
+    keep-first per group within a global order, then top-k — the reference's
+    dedup-by-(videoid, shot) over distance-sorted hits."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_partkey").orderBy(
+        F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.col("l_extendedprice").alias("best_price"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .orderBy("best_price", "l_orderkey", "l_partkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+SQL_WINDOW_DEDUP_TOPK = """
+SELECT l_partkey, best_price, l_orderkey, l_linenumber FROM (
+  SELECT l_partkey, l_extendedprice AS best_price, l_orderkey, l_linenumber,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn
+  FROM lineitem) t
+WHERE rn = 1
+ORDER BY best_price, l_orderkey, l_partkey, l_linenumber
+LIMIT 100
+"""
+
+
+def q_interval_join(spark, sf_dir):
+    """J1 (server_ndd.py:217-220): assign records to enclosing intervals —
+    frame→shot becomes event→window (marker events open 10-minute windows)."""
+    ev = _t(spark, sf_dir, "events")
+    windows = ev.where(F.col("event_id") % 97 == 0).select(
+        F.col("event_id").alias("window_id"),
+        F.col("ts").alias("w_begin"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+    )
+    return (
+        ev.join(
+            F.broadcast(windows),
+            (ev.ts >= windows.w_begin) & (ev.ts < windows.w_end),
+        )
+        .groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+SQL_INTERVAL_JOIN = """
+SELECT w.event_id AS window_id, count(*) AS n_events,
+       round(sum(e.value), 4) AS sum_value
+FROM events e
+JOIN (SELECT event_id, ts FROM events WHERE event_id % 97 = 0) w
+  ON e.ts >= w.ts AND e.ts < w.ts + INTERVAL 10 MINUTE
+GROUP BY w.event_id
+"""
+
+
+def q_two_level_minmax(spark, sf_dir):
+    """A1/A2 (extract_images.py:125-127,205-208): two-level min/max rollup —
+    per-shot bbox then per-movie bbox becomes per-order then per-customer."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    return (
+        per_order.join(orders, per_order.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.round(F.min("lo"), 4).alias("min_price"),
+            F.round(F.max("hi"), 4).alias("max_price"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_TWO_LEVEL_MINMAX = """
+SELECT o_custkey, round(min(lo), 4) AS min_price, round(max(hi), 4) AS max_price,
+       count(*) AS n_orders
+FROM (SELECT l_orderkey, min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+      FROM lineitem GROUP BY l_orderkey) p
+JOIN orders ON p.l_orderkey = o_orderkey
+GROUP BY o_custkey
+"""
+
+
+def q_broadcast_lookup_coalesce(spark, sf_dir):
+    """J4/S7 (server_ndd.py:188-196): small-dim lookup with fallback —
+    videoname via HTTP else videoid → broadcast join + coalesce."""
+    orders = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer").where(F.col("c_custkey") % 10 == 0)
+    return (
+        orders.join(F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(
+                "c_name", F.concat(F.lit("cust#"), F.col("o_custkey").cast("string"))
+            ).alias("display_name"),
+        )
+    )
+
+
+SQL_BROADCAST_LOOKUP_COALESCE = """
+SELECT o_orderkey,
+       coalesce(c_name, 'cust#' || CAST(o_custkey AS VARCHAR)) AS display_name
+FROM orders
+LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 10 = 0) d
+  ON o_custkey = c_custkey
+"""
+
+
+def q_pair_dedup_canonical(spark, sf_dir):
+    """J6 (server_ndd.py:127-141 implied grouping): canonical unordered-pair
+    dedup via least/greatest + distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.least("l_partkey", "l_suppkey").alias("pair_lo"),
+            F.greatest("l_partkey", "l_suppkey").alias("pair_hi"),
+        )
+        .dropDuplicates(["pair_lo", "pair_hi"])
+    )
+
+
+SQL_PAIR_DEDUP_CANONICAL = """
+SELECT DISTINCT least(l_partkey, l_suppkey) AS pair_lo,
+                greatest(l_partkey, l_suppkey) AS pair_hi
+FROM lineitem
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """F12 analog / training-pipeline token counting over documents."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+
+
+SQL_TOKEN_COUNT = """
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Training-pipeline quality scoring: length + stopword-ratio features."""
+    d = _t(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in _STOPLIST])
+    toks = F.split("text", " ")
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.size(toks).alias("n_tokens"),
+        F.round(n_stop.cast("double") / F.size(toks), 6).alias("stopword_ratio"),
+    )
+
+
+SQL_QUALITY_SCORE = f"""
+SELECT doc_id, length(text) AS text_len,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(len(list_filter(string_split(text, ' '),
+                 x -> list_contains({_STOPLIST!r}, x)))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Token-set Jaccard near-dup pairs (the verify-stage semantics, SURVEY J3
+    verification; reference exact-distance server_ndd.py:104-112) on a doc
+    subset, SQL-checkable."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    union = F.size("toks_a") + F.size("toks_b") - inter
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union.cast("double"), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.3)
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = """
+WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+           FROM documents WHERE doc_id % 10 = 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.toks, b.toks))
+             / CAST(len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6) AS jaccard
+FROM d a JOIN d b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.toks, b.toks))
+      / CAST(len(a.toks) + len(b.toks)
+             - len(list_intersect(a.toks, b.toks)) AS DOUBLE) >= 0.3
+"""
+
+
+def q_embedding_knn_bruteforce(spark, sf_dir):
+    """J3 reference semantics (server_ndd.py:104-117): brute-force exact
+    similarity top-k — query vectors vs the whole index, broadcast the small
+    query side, window top-k per query."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    dot = F.aggregate(
+        F.zip_with("qvec", "vec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(dot / (norm("qvec") * norm("vec")), 6))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "vec_id", "cosine", F.col("rn").alias("rank"))
+    )
+
+
+SQL_EMBEDDING_KNN_BRUTEFORCE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, vec AS qvec FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_dot_product(q.qvec, e.vec)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(e.vec, e.vec))), 6) AS cosine
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ms_to_hms(spark, sf_dir):
+    """F3 (server_ndd.py:149-150): ms → H:MM:SS display formatting."""
+    ev = _t(spark, sf_dir, "events")
+    ms = (F.col("value") * 1000).cast("bigint")
+    secs = (ms / F.lit(1000)).cast("bigint")
+    return ev.select(
+        "event_id",
+        F.format_string(
+            "%d:%02d:%02d",
+            (secs / 3600).cast("bigint"),
+            ((secs % 3600) / 60).cast("bigint"),
+            (secs % 60).cast("bigint"),
+        ).alias("hms"),
+    )
+
+
+SQL_MS_TO_HMS = """
+SELECT event_id,
+       printf('%d:%02d:%02d',
+              (CAST(value * 1000 AS BIGINT) // 1000) // 3600,
+              ((CAST(value * 1000 AS BIGINT) // 1000) % 3600) // 60,
+              (CAST(value * 1000 AS BIGINT) // 1000) % 60) AS hms
+FROM events
+"""
+
+
+def q_json_extract(spark, sf_dir):
+    """F9 (server_ndd.py:273,300-306): JSON envelope decode."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k_value")
+        )
+        .groupBy("k_value")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_JSON_EXTRACT = """
+SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k_value, count(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_base64_encode(spark, sf_dir):
+    """F1 (server_ndd.py:63-74): base64 encoding of binary payloads."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.substring("text", 1, 16), "utf-8")).alias("b64_prefix"),
+    )
+
+
+SQL_BASE64_ENCODE = """
+SELECT doc_id, to_base64(encode(substr(text, 1, 16))) AS b64_prefix FROM documents
+"""
+
+
+def q_path_parse(spark, sf_dir):
+    """F4 (server_ndd.py:169,194): id parsing out of path-like strings."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("source", "([0-9]+)", 1).cast("int").alias("src_num"),
+    )
+
+
+SQL_PATH_PARSE = """
+SELECT doc_id, CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) AS src_num
+FROM documents
+"""
+
+
+def q_argmin_classify(spark, sf_dir):
+    """A5 (extract_aspect_ratio.py:46-47,67-69): nearest-canonical-class
+    argmin — aspect-ratio labels become value-bucket labels."""
+    ev = _t(spark, sf_dir, "events")
+    diffs = F.array(*[F.abs(F.col("value") - F.lit(c)) for c in _CANON])
+    labels = F.array(*[F.lit(s) for s in _CANON_LABELS])
+    idx = F.array_position(diffs, F.array_min(diffs))
+    return ev.select(
+        "event_id", F.element_at(labels, idx.cast("int")).alias("value_class")
+    )
+
+
+SQL_ARGMIN_CLASSIFY = f"""
+SELECT event_id,
+       ({_CANON_LABELS!r})[list_position(
+           [abs(value - 10.0), abs(value - 30.0),
+            abs(value - 60.0), abs(value - 90.0)],
+           list_min([abs(value - 10.0), abs(value - 30.0),
+                     abs(value - 60.0), abs(value - 90.0)]))] AS value_class
+FROM events
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessionization (gap > 30 min) — the batch analog of the reference's
+    per-shot grouping of a timeline (utils.py:7-18 shot rows)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"), F.min("event_id").alias("first_event")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT user_id, event_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged)
+SELECT user_id, session_id, count(*) AS n_events, min(event_id) AS first_event
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+def q_lang_stats(spark, sf_dir):
+    """Metrics-table rollup (lineage/metrics analog of S12 counts)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_LANG_STATS = """
+SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ------------------------------------------------ engine (rows-only) queries
+
+
+def _doc_signatures(spark, sf_dir):
+    from near_duplicate_detection_spark.config import NDDConfig
+    from near_duplicate_detection_spark.functions.signatures import (
+        SIGNATURE_SCHEMA,
+        signature_map_fn,
+    )
+
+    cfg = NDDConfig(shingle_k=3)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("url"), "text")
+    )
+    return cfg, d.mapInPandas(signature_map_fn(cfg), schema=SIGNATURE_SCHEMA)
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """U1 (extract_features.py:26-32): per-record signature extraction —
+    rows-only check (hash family not expressible in ANSI SQL)."""
+    _, sigs = _doc_signatures(spark, sf_dir)
+    return sigs.select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "n_tokens",
+        F.size("minhash").alias("sig_len"),
+        "simhash",
+        F.size("shingles").alias("n_distinct_shingles"),
+    )
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    """J3 (server_ndd.py:104-112 re-expressed): LSH band equi-join candidates
+    + exact-Jaccard verify at 0.2 over documents — rows-only check."""
+    from near_duplicate_detection_spark.config import NDDConfig
+    from near_duplicate_detection_spark.operators.lsh import candidate_pairs
+    from near_duplicate_detection_spark.operators.verify import verify_pairs
+
+    cfg = NDDConfig(shingle_k=3, jaccard_threshold=0.2)
+    _, sigs = _doc_signatures(spark, sf_dir)
+    pairs, _flagged = candidate_pairs(sigs, cfg)
+    return verify_pairs(pairs, sigs, cfg).select(
+        F.col("url_a").cast("bigint").alias("doc_a"),
+        F.col("url_b").cast("bigint").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """A7: connected components over verified pairs — rows-only check."""
+    from near_duplicate_detection_spark.operators.connected_components import (
+        clusters_table,
+        connected_components,
+    )
+
+    pairs = q_lsh_candidate_pairs(spark, sf_dir).select(
+        F.col("doc_a").cast("string").alias("url_a"),
+        F.col("doc_b").cast("string").alias("url_b"),
+    )
+    all_urls = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("url"))
+    )
+    labels = connected_components(pairs)
+    return clusters_table(labels, all_urls).select(
+        F.col("url").cast("bigint").alias("doc_id"), "cluster_id", "is_representative"
+    )
+
+
+def q_simhash_hamming_topk(spark, sf_dir):
+    """SimHash nearest neighbors of doc 0 by hamming distance — rows-only."""
+    _, sigs = _doc_signatures(spark, sf_dir)
+    probe = sigs.where(F.col("url") == "0").select(
+        F.col("simhash").alias("probe_hash")
+    )
+    return (
+        sigs.crossJoin(F.broadcast(probe))
+        .where(F.col("url") != "0")
+        .select(
+            F.col("url").cast("bigint").alias("doc_id"),
+            F.bit_count(
+                F.col("simhash").bitwiseXOR(F.col("probe_hash"))
+            ).alias("hamming"),
+        )
+        .orderBy("hamming", "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "window_dedup_topk": q_window_dedup_topk,
+    "interval_join": q_interval_join,
+    "two_level_minmax": q_two_level_minmax,
+    "broadcast_lookup_coalesce": q_broadcast_lookup_coalesce,
+    "pair_dedup_canonical": q_pair_dedup_canonical,
+    "token_count": q_token_count,
+    "quality_score": q_quality_score,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_knn_bruteforce": q_embedding_knn_bruteforce,
+    "ms_to_hms": q_ms_to_hms,
+    "json_extract": q_json_extract,
+    "base64_encode": q_base64_encode,
+    "path_parse": q_path_parse,
+    "argmin_classify": q_argmin_classify,
+    "sessionize": q_sessionize,
+    "lang_stats": q_lang_stats,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
+    "simhash_hamming_topk": q_simhash_hamming_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "window_dedup_topk": SQL_WINDOW_DEDUP_TOPK,
+    "interval_join": SQL_INTERVAL_JOIN,
+    "two_level_minmax": SQL_TWO_LEVEL_MINMAX,
+    "broadcast_lookup_coalesce": SQL_BROADCAST_LOOKUP_COALESCE,
+    "pair_dedup_canonical": SQL_PAIR_DEDUP_CANONICAL,
+    "token_count": SQL_TOKEN_COUNT,
+    "quality_score": SQL_QUALITY_SCORE,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "embedding_knn_bruteforce": SQL_EMBEDDING_KNN_BRUTEFORCE,
+    "ms_to_hms": SQL_MS_TO_HMS,
+    "json_extract": SQL_JSON_EXTRACT,
+    "base64_encode": SQL_BASE64_ENCODE,
+    "path_parse": SQL_PATH_PARSE,
+    "argmin_classify": SQL_ARGMIN_CLASSIFY,
+    "sessionize": SQL_SESSIONIZE,
+    "lang_stats": SQL_LANG_STATS,
+    # minhash_signatures / lsh_candidate_pairs / near_dup_clusters /
+    # simhash_hamming_topk: hash-family ops, not ANSI-SQL-expressible →
+    # rows-only driver check (their correctness gates live in tests/).
+}

@@ -1,0 +1,68 @@
+"""Driver-contract conformance: every queries() entry runs; every oracle_sql()
+entry matches the Spark result on row count, column names, and
+order-insensitive values (the CORRECTNESS_r{N}.json gate, locally)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        elif "float" in str(pdf[c].dtype):
+            pdf[c] = pdf[c].map(
+                lambda x: round(x, 9) if isinstance(x, float) and math.isfinite(x) else x
+            )
+    return pdf.sort_values(list(pdf.columns), ignore_index=True)
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"doc_id", "cluster_id", "is_representative"}
+
+
+def test_every_query_has_callable_and_runs(spark):
+    qs = entry_mod.queries()
+    assert len(qs) >= 20
+    for name, fn in qs.items():
+        df = fn(spark, SF_DIR)
+        assert df.count() >= 0, name
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
+def test_oracle_match(spark, duck, name):
+    spark_pdf = entry_mod.queries()[name](spark, SF_DIR).toPandas()
+    duck_pdf = duck.execute(entry_mod.oracle_sql()[name]).fetchdf()
+    assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
+    assert len(spark_pdf) == len(duck_pdf), name
+    a, b = _normalize(spark_pdf), _normalize(duck_pdf)
+    if len(a):
+        pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-8)
