@@ -35,7 +35,7 @@ class NDDConfig:
     # --- stage 2b: substring (suffix-array) pass ---
     substring_window: int = 64       # chars per anchored fingerprint window
     substring_anchor_gram: int = 8   # g-gram whose hash picks anchor positions
-    substring_anchor_mod: int = 8    # anchor density: 1 per `mod` chars expected
+    substring_anchor_mod: int = 16   # anchor density: 1 per `mod` chars expected
     substring_min_len: int = 200     # min shared run to link a pair
     # --- layout ---
     num_buckets: int = 16            # url-hash partitions for lineage granularity

@@ -58,13 +58,35 @@ def shingle_strings(tokens: list[str], k: int) -> list[str]:
     return [" ".join(tokens[i : i + k]) for i in range(n - k + 1)]
 
 
+# Reusable work buffers. Fresh multi-MB allocations are pathologically slow on
+# first touch in the sandboxed microVM (page-fault cost ~300× the arithmetic),
+# so every chunk computes into the same preallocated arrays. Spark reuses
+# python workers across batches (spark.python.worker.reuse=true), so the
+# buffers amortize over the whole job. Single-threaded per worker → safe.
+_BUF: dict[tuple[str, int], np.ndarray] = {}
+
+# chunk size in matrix cells (~rows × k); 2M cells ≈ 16 MB of int64
+_TARGET_CELLS = 2_000_000
+
+
+def _buffer(name: str, shape: tuple[int, ...], dtype) -> np.ndarray:
+    n = int(np.prod(shape))
+    key = (name, np.dtype(dtype).itemsize)
+    buf = _BUF.get(key)
+    if buf is None or buf.size < n:
+        buf = np.empty(max(n, _TARGET_CELLS), dtype=dtype)
+        _BUF[key] = buf
+    return buf[:n].reshape(shape)
+
+
 def _segmented_minhash(
     flat_hashes: np.ndarray, offsets: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
     """Per-document MinHash over a flat concatenated hash array.
 
     offsets[i] = start index of doc i in flat_hashes. Returns n_docs×k uint64.
-    Chunked over docs so the (m_chunk × k) permuted matrix stays bounded.
+    Chunked over docs so the (m_chunk × k) permuted matrix stays bounded; the
+    permute-mod-min for each chunk runs in place in reused buffers.
     """
     k = len(a)
     n_docs = len(offsets)
@@ -72,20 +94,28 @@ def _segmented_minhash(
     if len(flat_hashes) == 0:
         out[:] = np.uint64(_MERSENNE_P)
         return out
-    # chunk boundaries in doc space keeping ~8M matrix cells per chunk
-    target_cells = 8_000_000
+    ai = a.view(np.int64)[None, :]
+    bi = b.view(np.int64)[None, :]
+    hi64 = np.ascontiguousarray(flat_hashes, dtype=np.uint64).view(np.int64)
     ends = np.append(offsets[1:], len(flat_hashes))
     doc_start = 0
     while doc_start < n_docs:
         doc_end = doc_start
         cells = 0
-        while doc_end < n_docs and cells < target_cells:
+        while doc_end < n_docs and (cells == 0 or cells < _TARGET_CELLS):
             cells += int(ends[doc_end] - offsets[doc_end]) * k
             doc_end += 1
         lo, hi = int(offsets[doc_start]), int(ends[doc_end - 1])
-        permuted = apply_perms(flat_hashes[lo:hi], a, b)  # (hi-lo)×k
+        rows = hi - lo
+        work = _buffer("minhash_work", (rows, k), np.int64)
+        # int64 two's-complement wraparound == uint64 wraparound bit-for-bit;
+        # numpy's uint64 broadcast-multiply kernel is ~1000× slower than int64
+        np.multiply(hi64[lo:hi, None], ai, out=work)
+        np.add(work, bi, out=work)
+        work_u = work.view(np.uint64)
+        np.mod(work_u, np.uint64(_MERSENNE_P), out=work_u)
         local_off = (offsets[doc_start:doc_end] - lo).astype(np.intp)
-        out[doc_start:doc_end] = np.minimum.reduceat(permuted, local_off, axis=0)
+        np.minimum.reduceat(work_u, local_off, axis=0, out=out[doc_start:doc_end])
         doc_start = doc_end
     return out
 
@@ -101,21 +131,21 @@ def _segmented_simhash(
     ends = np.append(offsets[1:], len(flat_hashes))
     lengths = (ends - offsets).astype(np.int64)
     out = np.zeros(n_docs, dtype=np.uint64)
-    target_cells = 16_000_000
     doc_start = 0
     while doc_start < n_docs:
         doc_end = doc_start
         cells = 0
-        while doc_end < n_docs and cells < target_cells:
+        while doc_end < n_docs and (cells == 0 or cells < _TARGET_CELLS):
             cells += int(lengths[doc_end]) * bits
             doc_end += 1
         lo, hi = int(offsets[doc_start]), int(ends[doc_end - 1])
-        bit_mat = ((flat_hashes[lo:hi, None] >> shifts[None, :]) & np.uint64(1)).astype(
-            np.int32
-        )
+        rows = hi - lo
+        bit_mat = _buffer("simhash_bits", (rows, bits), np.uint64)
+        np.right_shift(flat_hashes[lo:hi, None], shifts[None, :], out=bit_mat)
+        np.bitwise_and(bit_mat, np.uint64(1), out=bit_mat)
         local_off = (offsets[doc_start:doc_end] - lo).astype(np.intp)
         votes = np.add.reduceat(bit_mat, local_off, axis=0)  # ones count per bit
-        half = (lengths[doc_start:doc_end, None] / 2.0)
+        half = lengths[doc_start:doc_end, None] / 2.0
         fp_bits = (votes > half).astype(np.uint64)  # majority-1 → bit set
         out[doc_start:doc_end] = (fp_bits << shifts[None, :]).sum(
             axis=1, dtype=np.uint64

@@ -22,8 +22,12 @@ from __future__ import annotations
 
 import os
 import time
+import uuid
 
 import pandas as pd
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -76,18 +80,59 @@ class StageCatalog:
         a partition is complete iff a lineage row with the SAME config hash
         exists — param changes upstream invalidate it automatically because
         the hash chains upstream hashes (config.py)."""
-        rows = (
-            self.lineage()
-            .where((F.col("stage") == stage) & (F.col("config_hash") == config_hash))
-            .select("partition_id")
-            .collect()
+        if not self.exists("lineage"):
+            return set()
+        tbl = pads.dataset(self.path("lineage"), format="parquet").to_table(
+            columns=["stage", "config_hash", "partition_id"],
+            filter=(pads.field("stage") == stage)
+            & (pads.field("config_hash") == config_hash),
         )
-        return {r.partition_id for r in rows}
+        return set(tbl.column("partition_id").to_pylist())
+
+    def count_rows(self, table: str) -> int:
+        """Row count from parquet footers only — no Spark job, no data read."""
+        return pads.dataset(self.path(table), format="parquet").count_rows()
+
+    def bucket_counts(self, table: str) -> dict[int, int]:
+        """Per-bucket row counts of a bucket-partitioned table (footers only)."""
+        out: dict[int, int] = {}
+        root = self.path(table)
+        for d in os.listdir(root):
+            if d.startswith("bucket="):
+                out[int(d.split("=", 1)[1])] = pads.dataset(
+                    os.path.join(root, d), format="parquet"
+                ).count_rows()
+        return out
+
+    def _append_small(self, table: str, pdf: pd.DataFrame, schema: pa.Schema) -> None:
+        """Driver-side append of a tiny control-table row-batch. These tables
+        are a few rows per stage — spinning a Spark job per append costs more
+        than the data; a direct parquet file write into the dir is equivalent
+        (commit protocol: file appears atomically via rename-on-close)."""
+        os.makedirs(self.path(table), exist_ok=True)
+        fname = os.path.join(
+            self.path(table), f"part-{uuid.uuid4().hex}.snappy.parquet"
+        )
+        pq.write_table(pa.Table.from_pandas(pdf, schema=schema), fname)
+
+    _LINEAGE_PA = pa.schema(
+        [
+            ("stage", pa.string()),
+            ("partition_id", pa.int32()),
+            ("config_hash", pa.string()),
+            ("rows", pa.int64()),
+            ("wall_ms", pa.int64()),
+            ("completed_at", pa.timestamp("us")),
+        ]
+    )
+    _METRICS_PA = pa.schema(
+        [("stage", pa.string()), ("key", pa.string()), ("value", pa.float64())]
+    )
 
     def mark_complete(
         self, stage: str, config_hash: str, partition_rows: dict[int, int], wall_ms: int
     ) -> None:
-        now = pd.Timestamp(int(time.time()), unit="s", tz="UTC")
+        now = pd.Timestamp(int(time.time()), unit="s")
         pdf = pd.DataFrame(
             [
                 (stage, int(pid), config_hash, int(nrows), int(wall_ms), now)
@@ -96,8 +141,7 @@ class StageCatalog:
             columns=["stage", "partition_id", "config_hash", "rows",
                      "wall_ms", "completed_at"],
         )
-        df = self.spark.createDataFrame(pdf, schema=LINEAGE_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path("lineage"))
+        self._append_small("lineage", pdf, self._LINEAGE_PA)
 
     # ---- metrics ----
 
@@ -108,8 +152,7 @@ class StageCatalog:
             [(stage, k, float(v)) for k, v in metrics.items()],
             columns=["stage", "key", "value"],
         )
-        df = self.spark.createDataFrame(pdf, schema=METRICS_SCHEMA)
-        df.coalesce(1).write.mode("append").parquet(self.path("metrics"))
+        self._append_small("metrics", pdf, self._METRICS_PA)
 
     def metrics(self) -> DataFrame:
         if not self.exists("metrics"):

@@ -87,21 +87,31 @@ def window_fingerprint_fn(cfg: NDDConfig, text_col: str = "text"):
 def substring_candidates(
     pages: DataFrame, cfg: NDDConfig, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
-    """→ (pairs(url_a, url_b), flagged(win_hash, bucket_size))."""
+    """→ (pairs(url_a, url_b), flagged(win_hash, bucket_size)).
+
+    Two-phase plan: phase 1 shuffles only (win_hash, count) — 16 bytes/row
+    with map-side combine — to find the rare multi-doc window hashes; phase 2
+    recomputes the (cheap) fingerprints and joins against that small hash set
+    (AQE runtime-broadcasts it), so the url-carrying shuffle only sees rows
+    that can actually pair. At corpus scale the overwhelming majority of
+    windows are unique: shipping their urls to a groupBy would dominate the
+    stage, exactly like the reference eagerly resizing all N images before
+    top-k filtering (server_ndd.py:118-123) — the anti-pattern SURVEY bans.
+    """
     windows = pages.select("url", text_col).mapInPandas(
         window_fingerprint_fn(cfg, text_col), schema=WINDOW_SCHEMA
     )
-    buckets = (
-        windows.groupBy("win_hash")
-        .agg(F.collect_list("url").alias("urls"))
-        .withColumn("bucket_size", F.size("urls"))
-        .where(F.col("bucket_size") >= 2)
+    counts = windows.groupBy("win_hash").count().where(F.col("count") >= 2)
+    flagged = counts.where(F.col("count") > cfg.max_bucket_size).select(
+        "win_hash", F.col("count").alias("bucket_size")
     )
-    flagged = buckets.where(F.col("bucket_size") > cfg.max_bucket_size).select(
-        "win_hash", "bucket_size"
+    ok_hashes = counts.where(F.col("count") <= cfg.max_bucket_size).select(
+        "win_hash"
     )
     pairs = (
-        buckets.where(F.col("bucket_size") <= cfg.max_bucket_size)
+        windows.join(F.broadcast(ok_hashes), "win_hash")
+        .groupBy("win_hash")
+        .agg(F.collect_list("url").alias("urls"))
         .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
         .select("p.url_a", "p.url_b")
         .dropDuplicates(["url_a", "url_b"])
@@ -116,7 +126,11 @@ def verify_substring_pairs(
     texts = pages.select("url", text_col)
     a = texts.select(F.col("url").alias("url_a"), F.col(text_col).alias("text_a"))
     b = texts.select(F.col("url").alias("url_b"), F.col(text_col).alias("text_b"))
-    joined = pairs.join(a, "url_a").join(b, "url_b")
+    # Spread candidate pairs across all cores BEFORE the python LCS UDF:
+    # AQE coalesces the (tiny-by-bytes) pair shuffle to one partition, which
+    # would serialize the expensive per-pair suffix-array work on one core.
+    n_parts = pairs.sparkSession.sparkContext.defaultParallelism
+    joined = pairs.join(a, "url_a").join(b, "url_b").repartition(n_parts)
     min_len = cfg.substring_min_len
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

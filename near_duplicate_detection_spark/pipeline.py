@@ -52,9 +52,38 @@ class NDDPipeline:
         self.cfg = cfg
         self.catalog = StageCatalog(spark, base_dir)
 
+    # ---------- stage 0 ----------
+
+    def stage0_ingest(self, pages: DataFrame, resume: bool = True) -> None:
+        """Materialize the input as the catalog's `pages` table, partitioned
+        by url-hash bucket. Every later stage scans this table instead of
+        re-evaluating the input plan, and stage 1's pending-bucket filter
+        becomes parquet partition pruning. (In production `pages` IS the
+        Iceberg input table and this stage is a no-op.)"""
+        cfg, cat = self.cfg, self.catalog
+        h = cfg.stage1_hash()
+        done = cat.completed_partitions("pages", h) if resume else set()
+        pending = sorted(set(range(cfg.num_buckets)) - done)
+        if not pending:
+            return
+        t0 = time.monotonic()
+        bucket = F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int")
+        with_bucket = pages.withColumn("bucket", bucket)
+        if len(pending) < cfg.num_buckets:
+            with_bucket = with_bucket.where(
+                F.col("bucket").isin([int(b) for b in pending])
+            )
+        cat.write(with_bucket, "pages", partition_by=["bucket"])
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        counts = cat.bucket_counts("pages")
+        cat.mark_complete("pages", h, {b: counts.get(b, 0) for b in pending}, wall_ms)
+
+    def pages_table(self) -> DataFrame:
+        return self.catalog.read("pages")
+
     # ---------- stage 1 ----------
 
-    def stage1_signatures(self, pages: DataFrame, resume: bool = True) -> None:
+    def stage1_signatures(self, resume: bool = True) -> None:
         """pages → signatures, partitioned by url-hash bucket with per-bucket
         lineage (reference P1 predicate, ndd/extract_features.py:88)."""
         cfg, cat = self.cfg, self.catalog
@@ -64,10 +93,8 @@ class NDDPipeline:
         if not pending:
             return
         t0 = time.monotonic()
-        bucket = F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int")
-        todo = (
-            pages.withColumn("bucket", bucket)
-            .where(F.col("bucket").isin([int(b) for b in pending]))
+        todo = self.pages_table().where(
+            F.col("bucket").isin([int(b) for b in pending])
         )
         sigs = (
             todo.select("url", "text", "bucket")
@@ -78,14 +105,7 @@ class NDDPipeline:
         )
         cat.write(sigs, "signatures", partition_by=["bucket"])
         wall_ms = int((time.monotonic() - t0) * 1000)
-        counts = {
-            r["bucket"]: r["n"]
-            for r in cat.read("signatures")
-            .where(F.col("bucket").isin([int(b) for b in pending]))
-            .groupBy("bucket")
-            .agg(F.count("*").alias("n"))
-            .collect()
-        }
+        counts = cat.bucket_counts("signatures")
         cat.mark_complete(
             "signatures", h, {b: counts.get(b, 0) for b in pending}, wall_ms
         )
@@ -112,7 +132,7 @@ class NDDPipeline:
         verified = verify_pairs(cands, sigs, cfg)
         cat.write(verified, "pairs")
         wall_ms = int((time.monotonic() - t0) * 1000)
-        n_pairs = cat.read("pairs").count()
+        n_pairs = cat.count_rows("pairs")
         cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
         cat.add_metrics(
             "pairs",
@@ -125,12 +145,13 @@ class NDDPipeline:
 
     # ---------- stage 2b ----------
 
-    def stage2b_substring(self, pages: DataFrame, resume: bool = True) -> None:
+    def stage2b_substring(self, resume: bool = True) -> None:
         cfg, cat = self.cfg, self.catalog
         h = cfg.stage2b_hash()
         if resume and cat.completed_partitions("substring_pairs", h):
             return
         t0 = time.monotonic()
+        pages = self.pages_table()
         cands, flagged = substring_candidates(pages, cfg)
         # pairs already verified by stage 2 don't need the expensive LCS pass
         if cat.exists("pairs"):
@@ -143,7 +164,7 @@ class NDDPipeline:
         cat.write(hits, "substring_pairs")
         flagged = flagged.localCheckpoint()
         wall_ms = int((time.monotonic() - t0) * 1000)
-        n = cat.read("substring_pairs").count()
+        n = cat.count_rows("substring_pairs")
         cat.mark_complete("substring_pairs", h, {-1: n}, wall_ms)
         cat.add_metrics(
             "substring_pairs",
@@ -156,7 +177,7 @@ class NDDPipeline:
 
     # ---------- stage 3 ----------
 
-    def stage3_clusters(self, pages: DataFrame, resume: bool = True) -> None:
+    def stage3_clusters(self, resume: bool = True) -> None:
         cfg, cat = self.cfg, self.catalog
         h = cfg.stage3_hash()
         if resume and cat.completed_partitions("clusters", h):
@@ -168,10 +189,10 @@ class NDDPipeline:
                 cat.read("substring_pairs").select("url_a", "url_b")
             )
         labels = connected_components(edges)
-        clusters = clusters_table(labels, pages.select("url"))
+        clusters = clusters_table(labels, self.pages_table().select("url"))
         cat.write(clusters, "clusters")
         wall_ms = int((time.monotonic() - t0) * 1000)
-        n = cat.read("clusters").count()
+        n = cat.count_rows("clusters")
         n_multi = (
             cat.read("clusters")
             .groupBy("cluster_id")
@@ -188,13 +209,19 @@ class NDDPipeline:
     # ---------- full build ----------
 
     def run(
-        self, pages: DataFrame, resume: bool = True, substring_pass: bool = True
+        self,
+        pages: DataFrame | None = None,
+        resume: bool = True,
+        substring_pass: bool = True,
     ) -> DataFrame:
-        self.stage1_signatures(pages, resume)
+        """Full build. `pages=None` reuses the catalog's existing pages table."""
+        if pages is not None:
+            self.stage0_ingest(pages, resume)
+        self.stage1_signatures(resume)
         self.stage2_pairs(resume)
         if substring_pass:
-            self.stage2b_substring(pages, resume)
-        self.stage3_clusters(pages, resume)
+            self.stage2b_substring(resume)
+        self.stage3_clusters(resume)
         return self.catalog.read("clusters")
 
 

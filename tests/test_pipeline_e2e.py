@@ -159,7 +159,10 @@ def test_query_top_k(spark, built):
 def test_metrics_and_lineage_written(built):
     pipe, _ = built
     lin = pipe.catalog.lineage().toPandas()
-    assert set(lin.stage) == {"signatures", "pairs", "substring_pairs", "clusters"}
+    assert set(lin.stage) == {
+        "pages", "signatures", "pairs", "substring_pairs", "clusters",
+    }
     assert len(lin[lin.stage == "signatures"]) == CFG.num_buckets
+    assert len(lin[lin.stage == "pages"]) == CFG.num_buckets
     met = pipe.catalog.metrics().toPandas()
     assert "verified_pairs" in set(met.key)
