@@ -1,0 +1,134 @@
+"""Scaling-efficiency evidence: the SAME dedup job on the SAME input at two
+parallelism levels (sandbox proxy for N vs 4N executors, per BASELINE.md).
+
+Protocol:
+  1. generate + ingest the pages table ONCE (setup, untimed);
+  2. for each core count, fresh JVM subprocess, fresh stage catalog sharing
+     the pre-ingested pages table (hardlink copy), run stages 1→3, report
+     docs/sec over the timed stages;
+  3. efficiency = (throughput_4N / throughput_N) / 4; write BENCH/BASELINE.md.
+
+Usage: python bench_scaling.py [n_docs] [cores_low] [cores_high]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+RUN_SNIPPET = """
+import json, time, sys
+from near_duplicate_detection_spark.session import get_spark
+from near_duplicate_detection_spark.config import NDDConfig
+from near_duplicate_detection_spark.pipeline import NDDPipeline
+
+base, cores = sys.argv[1], sys.argv[2]
+spark = get_spark(app_name=f"ndd-scaling-{cores}", master=f"local[{cores}]")
+pipe = NDDPipeline(spark, NDDConfig(), base)
+t0 = time.monotonic()
+pipe.stage1_signatures(resume=False)
+t1 = time.monotonic()
+pipe.stage2_pairs(resume=False)
+t2 = time.monotonic()
+pipe.stage2b_substring(resume=False)
+t3 = time.monotonic()
+pipe.stage3_clusters(resume=False)
+t4 = time.monotonic()
+n = pipe.catalog.count_rows("clusters")
+print("SCALING_RESULT " + json.dumps({
+    "cores": int(cores), "rows": n, "wall_sec": round(t4 - t0, 2),
+    "stage_sec": [round(t1-t0,2), round(t2-t1,2), round(t3-t2,2), round(t4-t3,2)],
+}))
+spark.stop()
+"""
+
+
+def run_at(base: str, cores: int) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", RUN_SNIPPET, base, str(cores)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("SCALING_RESULT "):
+            return json.loads(line[len("SCALING_RESULT "):])
+    raise RuntimeError(f"run at {cores} cores failed:\n{out.stderr[-3000:]}")
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    work = "/tmp/ndd_scaling"
+    shutil.rmtree(work, ignore_errors=True)
+    os.makedirs(work)
+
+    # setup: generate + ingest once (untimed)
+    setup = f"""
+from near_duplicate_detection_spark.session import get_spark
+from near_duplicate_detection_spark.config import NDDConfig
+from near_duplicate_detection_spark.pipeline import NDDPipeline
+from near_duplicate_detection_spark.sources.pages import generate_pages
+spark = get_spark(app_name="ndd-scaling-setup", master="local[{hi}]")
+pipe = NDDPipeline(spark, NDDConfig(), "{work}/seed")
+pipe.stage0_ingest(generate_pages(spark, {n_docs}), resume=False)
+spark.stop()
+"""
+    t0 = time.monotonic()
+    r = subprocess.run([sys.executable, "-c", setup], capture_output=True, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(r.stderr[-3000:])
+    print(f"setup (generate+ingest {n_docs} docs): {time.monotonic()-t0:.1f}s")
+
+    results = []
+    for cores in (lo, hi):
+        base = f"{work}/run{cores}"
+        os.makedirs(base)
+        subprocess.run(["cp", "-al", f"{work}/seed/pages", f"{base}/pages"], check=True)
+        res = run_at(base, cores)
+        res["docs_per_sec"] = round(n_docs / res["wall_sec"], 1)
+        results.append(res)
+        print(json.dumps(res))
+
+    tp_lo, tp_hi = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
+    eff = round((tp_hi / tp_lo) / (hi / lo), 3)
+    summary = {
+        "n_docs": n_docs, "cores": [lo, hi],
+        "docs_per_sec": [tp_lo, tp_hi], "scaling_efficiency": eff,
+    }
+    print(json.dumps(summary))
+
+    os.makedirs("BENCH", exist_ok=True)
+    stages = ["signatures", "lsh+verify", "substring", "clusters"]
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            "# BENCH/BASELINE — dedup throughput + scaling efficiency\n\n"
+            "Protocol (BASELINE.md): identical three-stage dedup job, identical\n"
+            f"pre-ingested input ({n_docs} synthetic pages with planted duplicate\n"
+            "structure), fresh JVM per run, stage tables reset between runs; the\n"
+            "pages table is shared (hardlinked) so both runs scan identical bytes.\n"
+            "Sandbox proxy for N vs 4N executors: local[{lo}] vs local[{hi}].\n\n".replace(
+                "{lo}", str(lo)).replace("{hi}", str(hi))
+        )
+        f.write("| cores | wall (s) | docs/sec | " + " | ".join(stages) + " |\n")
+        f.write("|---|---|---|" + "---|" * len(stages) + "\n")
+        for res in results:
+            f.write(
+                f"| {res['cores']} | {res['wall_sec']} | {res['docs_per_sec']} | "
+                + " | ".join(str(s) for s in res["stage_sec"]) + " |\n"
+            )
+        f.write(
+            f"\n**Scaling efficiency ({lo}→{hi} cores): {eff}**"
+            f" (target ≥ 0.8 per BASELINE.json)\n\n"
+            f"Throughput = docs / wall over stages 1–3 (signatures, LSH+verify,\n"
+            f"substring, clustering); ingest excluded (at production scale the\n"
+            f"input is an existing Iceberg table, not a generator).\n"
+        )
+    print("wrote BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
