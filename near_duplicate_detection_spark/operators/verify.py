@@ -7,9 +7,10 @@ acceptance is decided by exact Jaccard over the docs' distinct-shingle-hash
 sets. All set math is JVM-side (array_intersect / size — whole-stage
 codegen), no Python in the hot path.
 
-Shuffle shape: two hash joins pairs⋈signatures (on url_a, then url_b). The
-signature side projects only (url, shingles) so the scan prunes every other
-column.
+Shuffle shape: a semi-join prunes the pages scan to candidate docs, one
+Arrow pass recomputes their shingle sets, then two hash joins
+pairs⋈shingle_sets (on url_a, then url_b). Sets are never stored corpus-wide
+— at 10^12 docs that column would dwarf the signature table.
 """
 
 from __future__ import annotations
@@ -20,14 +21,33 @@ from pyspark.sql import functions as F
 from near_duplicate_detection_spark.config import NDDConfig
 
 
-def verify_pairs(
-    pairs: DataFrame, signatures: DataFrame, cfg: NDDConfig
+def candidate_shingle_sets(
+    pairs: DataFrame, pages: DataFrame, cfg: NDDConfig, text_col: str = "text"
 ) -> DataFrame:
-    """pairs(url_a, url_b) → verified pairs with exact jaccard ≥ threshold.
+    """Recompute distinct-shingle sets for exactly the docs named by the
+    candidate pairs (semi-join prunes the pages scan to the candidate set —
+    tiny vs corpus). Deterministic: same UDF family as stage 1."""
+    from near_duplicate_detection_spark.functions.signatures import (
+        SHINGLE_SET_SCHEMA,
+        shingle_sets_map_fn,
+    )
 
-    Output: (url_a, url_b, jaccard double).
+    member_urls = (
+        pairs.select(F.col("url_a").alias("url"))
+        .union(pairs.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    docs = pages.select("url", text_col).join(member_urls, "url", "left_semi")
+    return docs.mapInPandas(shingle_sets_map_fn(cfg, text_col), SHINGLE_SET_SCHEMA)
+
+
+def verify_pairs(
+    pairs: DataFrame, shingle_sets: DataFrame, cfg: NDDConfig
+) -> DataFrame:
+    """pairs(url_a, url_b) ⋈ shingle_sets(url, shingles) → pairs with exact
+    jaccard ≥ threshold. Output: (url_a, url_b, jaccard double).
     """
-    sets = signatures.select("url", "shingles")
+    sets = shingle_sets.select("url", "shingles")
     a = sets.select(
         F.col("url").alias("url_a"), F.col("shingles").alias("sh_a")
     )

@@ -37,13 +37,17 @@ from near_duplicate_detection_spark.operators.connected_components import (
 )
 from near_duplicate_detection_spark.operators.lsh import (
     candidate_pairs,
+    exact_groups,
     simhash_fallback_pairs,
 )
 from near_duplicate_detection_spark.operators.substring import (
     substring_candidates,
     verify_substring_pairs,
 )
-from near_duplicate_detection_spark.operators.verify import verify_pairs
+from near_duplicate_detection_spark.operators.verify import (
+    candidate_shingle_sets,
+    verify_pairs,
+)
 
 
 class NDDPipeline:
@@ -73,7 +77,18 @@ class NDDPipeline:
             with_bucket = with_bucket.where(
                 F.col("bucket").isin([int(b) for b in pending])
             )
-        cat.write(with_bucket, "pages", partition_by=["bucket"])
+        # bucket-PURE partitions: without this, every upstream task writes a
+        # file into every bucket dir (tasks × buckets small files), and every
+        # downstream partitioned write inherits the explosion. One shuffle
+        # here keeps all later stage writes at one-task-one-bucket.
+        # maxRecordsPerFile splits each bucket into several files so the
+        # downstream map stages regain full read parallelism.
+        cat.write(
+            with_bucket.repartition("bucket"),
+            "pages",
+            partition_by=["bucket"],
+            max_records_per_file=4096,
+        )
         wall_ms = int((time.monotonic() - t0) * 1000)
         counts = cat.bucket_counts("pages")
         cat.mark_complete("pages", h, {b: counts.get(b, 0) for b in pending}, wall_ms)
@@ -103,7 +118,11 @@ class NDDPipeline:
                 schema=SIGNATURE_SCHEMA + ", bucket int",
             )
         )
-        cat.write(sigs, "signatures", partition_by=["bucket"])
+        # input partitions are bucket-pure (stage 0), so this partitioned
+        # write emits one file per task, no fan-out
+        cat.write(
+            sigs, "signatures", partition_by=["bucket"], max_records_per_file=4096
+        )
         wall_ms = int((time.monotonic() - t0) * 1000)
         counts = cat.bucket_counts("signatures")
         cat.mark_complete(
@@ -123,14 +142,21 @@ class NDDPipeline:
             return
         t0 = time.monotonic()
         sigs = cat.read("signatures")
-        cands, flagged = candidate_pairs(sigs, cfg)
+        # exact-dup star edges first; LSH sees one representative per
+        # distinct content (collapses boilerplate/exact-dup bucket skew)
+        exact_edges, reps = exact_groups(sigs)
+        reps = reps.localCheckpoint()
+        cands, flagged = candidate_pairs(reps, cfg)
         flagged = flagged.localCheckpoint()
         n_flagged = flagged.count()
         if n_flagged:
-            fallback = simhash_fallback_pairs(sigs, flagged, cfg)
+            fallback = simhash_fallback_pairs(reps, flagged, cfg)
             cands = cands.union(fallback).dropDuplicates(["url_a", "url_b"])
-        verified = verify_pairs(cands, sigs, cfg)
-        cat.write(verified, "pairs")
+        cands = cands.localCheckpoint()
+        sets = candidate_shingle_sets(cands, self.pages_table(), cfg)
+        verified = verify_pairs(cands, sets, cfg)
+        cat.write(verified.unionByName(exact_edges), "pairs")
+        cat.write(reps.select("url"), "reps")
         wall_ms = int((time.monotonic() - t0) * 1000)
         n_pairs = cat.count_rows("pairs")
         cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
@@ -152,6 +178,10 @@ class NDDPipeline:
             return
         t0 = time.monotonic()
         pages = self.pages_table()
+        if cat.exists("reps"):
+            # substring pass over unique-content representatives only —
+            # exact copies are already linked by stage 2's star edges
+            pages = pages.join(cat.read("reps"), "url", "left_semi")
         cands, flagged = substring_candidates(pages, cfg)
         # pairs already verified by stage 2 don't need the expensive LCS pass
         if cat.exists("pairs"):
@@ -269,9 +299,15 @@ def query_top_k(
     )
     from near_duplicate_detection_spark.operators.lsh import explode_bands
 
+    from near_duplicate_detection_spark.functions.signatures import (
+        SHINGLE_SET_SCHEMA,
+        shingle_sets_map_fn,
+    )
+
     a, b = perm_params(cfg.num_perms)
     qsig = compute_signatures_batch(
-        pd.Series(["query://q"]), pd.Series([query_text]), cfg, a, b
+        pd.Series(["query://q"]), pd.Series([query_text]), cfg, a, b,
+        include_shingles=True,
     )
     q_bands = [
         (i, int(h)) for i, h in enumerate(qsig["bands"].iloc[0])
@@ -286,14 +322,19 @@ def query_top_k(
         .select("url")
         .distinct()
     )
+    # exact verify against candidates only: recompute their shingle sets
+    cand_sets = (
+        catalog.read("pages")
+        .select("url", "text")
+        .join(candidates, "url", "left_semi")
+        .mapInPandas(shingle_sets_map_fn(cfg), SHINGLE_SET_SCHEMA)
+    )
     q_arr = F.array(*[F.lit(s).cast("long") for s in q_shingles])
     inter = F.size(F.array_intersect(F.col("shingles"), q_arr))
     union = F.size("shingles") + F.lit(len(q_shingles)) - inter
-    scored = (
-        candidates.join(sigs.select("url", "shingles"), "url")
-        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
-        .select("url", "jaccard")
-    )
+    scored = cand_sets.withColumn(
+        "jaccard", inter.cast("double") / union.cast("double")
+    ).select("url", "jaccard")
     clusters = catalog.read("clusters").select("url", "cluster_id")
     from pyspark.sql import Window as W
 

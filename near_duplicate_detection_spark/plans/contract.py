@@ -447,6 +447,136 @@ FROM documents GROUP BY lang
 """
 
 
+def q_exact_dedup_groups(spark, sf_dir):
+    """S1-exact dedup (training-pipeline op): group by normalized-content
+    hash; md5 on both engines so the oracle matches bit-for-bit."""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return (
+        d.select("doc_id", F.md5(F.encode(norm, "utf-8")).alias("content_md5"))
+        .groupBy("content_md5")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("representative"))
+    )
+
+
+SQL_EXACT_DEDUP_GROUPS = """
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS content_md5,
+       count(*) AS n_copies, min(doc_id) AS representative
+FROM documents GROUP BY 1
+"""
+
+
+def q_norm_precompute(spark, sf_dir):
+    """A3 (server_ndd.py:265): materialized squared-norm column over the
+    embedding vectors."""
+    e = _t(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    sq = F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x)
+    return e.select("vec_id", F.round(sq, 6).alias("norm_sq"))
+
+
+SQL_NORM_PRECOMPUTE = """
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]), 6)
+           AS norm_sq
+FROM embeddings
+"""
+
+
+def q_except_custkeys(spark, sf_dir):
+    """§2.6 set ops: customers active early but gone later (EXCEPT)."""
+    o = _t(spark, sf_dir, "orders")
+    early = o.where(F.year("o_orderdate") <= 1996).select("o_custkey").distinct()
+    late = o.where(F.year("o_orderdate") >= 2000).select("o_custkey").distinct()
+    return early.exceptAll(late).distinct()
+
+
+SQL_EXCEPT_CUSTKEYS = """
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) <= 1996
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) >= 2000
+"""
+
+
+def q_json_fallback_chain(spark, sf_dir):
+    """S6 (utils.py:36-65): JSON parse with coalesce fallback chain — the
+    DAR→PAR/SAR→default cascade becomes missing-key coalesce."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.get_json_object("props", "$.missing_key").cast("int"),
+            F.get_json_object("props", "$.k").cast("int"),
+            F.lit(-1),
+        ).alias("resolved_k"),
+    )
+
+
+SQL_JSON_FALLBACK_CHAIN = """
+SELECT event_id,
+       coalesce(CAST(json_extract_string(props, '$.missing_key') AS INT),
+                CAST(json_extract_string(props, '$.k') AS INT),
+                -1) AS resolved_k
+FROM events
+"""
+
+
+def q_conditional_fallback(spark, sf_dir):
+    """P7 (extract_images.py:219-220): per-row conditional fallback —
+    empty-bbox→movie-template becomes zero-discount→list-price."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") == 0, F.col("l_extendedprice"))
+        .otherwise(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+        )
+        .alias("effective_price"),
+    )
+
+
+SQL_CONDITIONAL_FALLBACK = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount = 0 THEN l_extendedprice
+            ELSE round(l_extendedprice * (1 - l_discount), 4)
+       END AS effective_price
+FROM lineitem
+"""
+
+
+def q_lang_id_markers(spark, sf_dir):
+    """Language-ID by marker-word voting (training-pipeline op; A5-shaped
+    argmax over a literal class array)."""
+    from near_duplicate_detection_spark.functions.textstats import lang_id
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id("text").alias("lang_guess"))
+
+
+def _sql_lang_id() -> str:
+    from near_duplicate_detection_spark.functions.textstats import LANG_MARKERS
+
+    langs = list(LANG_MARKERS)
+    hits = ", ".join(
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"x -> list_contains({LANG_MARKERS[lg]!r}, x)))"
+        for lg in langs
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, [{hits}] AS hits FROM documents)
+SELECT doc_id,
+       CASE WHEN list_max(hits) > 0
+            THEN ({langs!r})[list_position(hits, list_max(hits))]
+            ELSE 'und' END AS lang_guess
+FROM scored
+"""
+
+
+SQL_LANG_ID_MARKERS = _sql_lang_id()
+
+
 # ------------------------------------------------ engine (rows-only) queries
 
 
@@ -474,7 +604,8 @@ def q_minhash_signatures(spark, sf_dir):
         "n_tokens",
         F.size("minhash").alias("sig_len"),
         "simhash",
-        F.size("shingles").alias("n_distinct_shingles"),
+        "fp",
+        F.size("bands").alias("n_bands"),
     )
 
 
@@ -483,12 +614,20 @@ def q_lsh_candidate_pairs(spark, sf_dir):
     + exact-Jaccard verify at 0.2 over documents — rows-only check."""
     from near_duplicate_detection_spark.config import NDDConfig
     from near_duplicate_detection_spark.operators.lsh import candidate_pairs
-    from near_duplicate_detection_spark.operators.verify import verify_pairs
+    from near_duplicate_detection_spark.operators.verify import (
+        candidate_shingle_sets,
+        verify_pairs,
+    )
 
     cfg = NDDConfig(shingle_k=3, jaccard_threshold=0.2)
     _, sigs = _doc_signatures(spark, sf_dir)
     pairs, _flagged = candidate_pairs(sigs, cfg)
-    return verify_pairs(pairs, sigs, cfg).select(
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(F.col("doc_id").cast("string").alias("url"), "text")
+    )
+    sets = candidate_shingle_sets(pairs, docs, cfg)
+    return verify_pairs(pairs, sets, cfg).select(
         F.col("url_a").cast("bigint").alias("doc_a"),
         F.col("url_b").cast("bigint").alias("doc_b"),
         F.round("jaccard", 6).alias("jaccard"),
@@ -536,6 +675,60 @@ def q_simhash_hamming_topk(spark, sf_dir):
     )
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """Sign-LSH bucketed approximate nearest neighbors (scale path of J3) —
+    rows-only (random-hyperplane family not ANSI-SQL-expressible)."""
+    from near_duplicate_detection_spark.operators.similarity import (
+        ann_topk,
+        hyperplanes,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    planes = hyperplanes(dim=64, n_planes=8)
+    out = ann_topk(e, q, planes, k=5)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+def q_quality_features_full(spark, sf_dir):
+    """Gopher/C4-style quality feature vector per doc — rows-only."""
+    from near_duplicate_detection_spark.functions.textstats import quality_features
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_features(d).drop("text")
+
+
+def q_multimodal_frame_features(spark, sf_dir):
+    """Multimodal plumbing demo: binary payload → frame sampling → stub
+    embeddings (decode stubbed; Spark-side schema/batching real) — rows-only."""
+    from near_duplicate_detection_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+    )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(640).alias("width"),
+            F.lit(360).alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = extract_features(sample_frames(media, frame_interval_ms=1000))
+    return feats.select(
+        "media_id", "frame_idx", F.size("embedding").alias("dim")
+    )
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -555,10 +748,19 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "argmin_classify": q_argmin_classify,
     "sessionize": q_sessionize,
     "lang_stats": q_lang_stats,
+    "exact_dedup_groups": q_exact_dedup_groups,
+    "norm_precompute": q_norm_precompute,
+    "except_custkeys": q_except_custkeys,
+    "json_fallback_chain": q_json_fallback_chain,
+    "conditional_fallback": q_conditional_fallback,
+    "lang_id_markers": q_lang_id_markers,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "near_dup_clusters": q_near_dup_clusters,
     "simhash_hamming_topk": q_simhash_hamming_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "quality_features_full": q_quality_features_full,
+    "multimodal_frame_features": q_multimodal_frame_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -578,6 +780,12 @@ ORACLES: dict[str, str] = {
     "argmin_classify": SQL_ARGMIN_CLASSIFY,
     "sessionize": SQL_SESSIONIZE,
     "lang_stats": SQL_LANG_STATS,
+    "exact_dedup_groups": SQL_EXACT_DEDUP_GROUPS,
+    "norm_precompute": SQL_NORM_PRECOMPUTE,
+    "except_custkeys": SQL_EXCEPT_CUSTKEYS,
+    "json_fallback_chain": SQL_JSON_FALLBACK_CHAIN,
+    "conditional_fallback": SQL_CONDITIONAL_FALLBACK,
+    "lang_id_markers": SQL_LANG_ID_MARKERS,
     # minhash_signatures / lsh_candidate_pairs / near_dup_clusters /
     # simhash_hamming_topk: hash-family ops, not ANSI-SQL-expressible →
     # rows-only driver check (their correctness gates live in tests/).
