@@ -85,15 +85,22 @@ spark.stop()
         raise RuntimeError(r.stderr[-3000:])
     print(f"setup (generate+ingest {n_docs} docs): {time.monotonic()-t0:.1f}s")
 
+    trials = int(os.environ.get("NDD_SCALING_TRIALS", "1"))
     results = []
     for cores in (lo, hi):
-        base = f"{work}/run{cores}"
-        os.makedirs(base)
-        subprocess.run(["cp", "-al", f"{work}/seed/pages", f"{base}/pages"], check=True)
-        res = run_at(base, cores)
-        res["docs_per_sec"] = round(n_docs / res["wall_sec"], 1)
-        results.append(res)
-        print(json.dumps(res))
+        best = None
+        for t in range(trials):
+            base = f"{work}/run{cores}_{t}"
+            os.makedirs(base)
+            subprocess.run(
+                ["cp", "-al", f"{work}/seed/pages", f"{base}/pages"], check=True
+            )
+            res = run_at(base, cores)
+            print(json.dumps(res))
+            if best is None or res["wall_sec"] < best["wall_sec"]:
+                best = res
+        best["docs_per_sec"] = round(n_docs / best["wall_sec"], 1)
+        results.append(best)
 
     tp_lo, tp_hi = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
     eff = round((tp_hi / tp_lo) / (hi / lo), 3)

@@ -49,6 +49,9 @@ def shingle_strings(tokens: list[str], k: int) -> list[str]:
     that turns one record into its constituent sub-records. A doc shorter
     than k tokens yields its whole token stream as one shingle so every
     non-empty doc has a signature.
+
+    Used by tests/oracles; the engine's hot path never materializes shingle
+    strings — see shingle_hashes_flat.
     """
     n = len(tokens)
     if n == 0:
@@ -56,6 +59,60 @@ def shingle_strings(tokens: list[str], k: int) -> list[str]:
     if n <= k:
         return [" ".join(tokens)]
     return [" ".join(tokens[i : i + k]) for i in range(n - k + 1)]
+
+
+# coefficients combining k token hashes into one shingle hash (seeded, fixed)
+_SHINGLE_COMBINE_SEED = 0x51195
+
+
+def shingle_hashes_flat(
+    tok_hashes: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized shingle hashing WITHOUT materializing shingle strings.
+
+    A shingle's hash is a fixed seeded linear combination of its k token
+    hashes: h(w_i..w_{i+k-1}) = Σ_j c_j·t_{i+j} (uint64 wraparound, computed
+    in int64 views — see apply_perms). Building millions of joined shingle
+    STRINGS per Arrow batch was the stage-1 allocation hot spot (python
+    object churn dominates in the sandbox's fault-expensive microVM and is
+    pure waste on any hardware); this replaces it with k shifted vectorized
+    multiply-adds over the already-computed token hash array.
+
+    tok_hashes: flat uint64 token hashes for the whole batch; offsets[i] =
+    start of doc i. A doc with fewer than k tokens yields ONE shingle
+    combining all its tokens (same semantics as shingle_strings).
+    → (flat shingle hashes uint64, shingle offsets per doc).
+    """
+    n_docs = len(offsets)
+    M = len(tok_hashes)
+    coeffs, _ = perm_params(max(k, 1), seed=_SHINGLE_COMBINE_SEED)
+    ci = coeffs.view(np.int64)
+    ends = np.append(offsets[1:], M)
+    lengths = ends - offsets
+    n_windows = np.maximum(lengths - k + 1, 1)
+    out_offsets = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(n_windows[:-1], out=out_offsets[1:])
+    total = int(out_offsets[-1] + n_windows[-1]) if n_docs else 0
+    out = np.zeros(total, dtype=np.int64)
+    if M == 0:
+        return out.view(np.uint64), out_offsets
+    ti = np.ascontiguousarray(tok_hashes, dtype=np.uint64).view(np.int64)
+    # full-size windows: global shifted multiply-add, then gather per doc
+    full = np.zeros(max(M - k + 1, 0), dtype=np.int64)
+    for j in range(k):
+        if len(full):
+            full += ci[j] * ti[j : j + len(full)]
+    # docs with length >= k: their windows are a contiguous slice of `full`
+    long_mask = lengths >= k
+    for d in np.nonzero(long_mask)[0]:
+        lo, n_w = int(offsets[d]), int(n_windows[d])
+        out[out_offsets[d] : out_offsets[d] + n_w] = full[lo : lo + n_w]
+    # short docs: one shingle combining all tokens (rare at corpus scale);
+    # array ops so int64 wraparound stays silent
+    for d in np.nonzero(~long_mask)[0]:
+        lo, hi = int(offsets[d]), int(ends[d])
+        out[out_offsets[d]] = (ci[: hi - lo] * ti[lo:hi]).sum()
+    return out.view(np.uint64), out_offsets
 
 
 # Reusable work buffers. Fresh multi-MB allocations are pathologically slow on
@@ -189,13 +246,18 @@ def compute_signatures_batch(
     tokens_per_doc: list[list[str]] = [tokenize(t or "") for t in texts]
     n_tokens = np.array([len(t) for t in tokens_per_doc], dtype=np.int64)
 
-    # ---- shingles: flat across the batch, hashed once ----
-    all_shingles: list[str] = []
-    sh_offsets = np.empty(n, dtype=np.int64)
+    # ---- ONE string-hash pass over tokens; everything else is numpy ----
+    all_tokens: list[str] = []
+    tok_offsets = np.empty(n, dtype=np.int64)
     for i, toks in enumerate(tokens_per_doc):
-        sh_offsets[i] = len(all_shingles)
-        all_shingles.extend(shingle_strings(toks, cfg.shingle_k))
-    sh_hashes = hash_str_array(all_shingles)
+        tok_offsets[i] = len(all_tokens)
+        all_tokens.extend(toks if toks else [""])
+    tok_hashes = hash_str_array(all_tokens)
+
+    # shingle hashes: vectorized k-token combination, no shingle strings
+    sh_hashes, sh_offsets = shingle_hashes_flat(
+        tok_hashes, tok_offsets, cfg.shingle_k
+    )
 
     minhash_mat = _segmented_minhash(sh_hashes, sh_offsets, a, b)
     bands_mat = band_hashes(minhash_mat, cfg.lsh_bands, cfg.lsh_rows)
@@ -207,13 +269,6 @@ def compute_signatures_batch(
         for i in range(n)
     ]
 
-    # ---- simhash over token hashes ----
-    all_tokens: list[str] = []
-    tok_offsets = np.empty(n, dtype=np.int64)
-    for i, toks in enumerate(tokens_per_doc):
-        tok_offsets[i] = len(all_tokens)
-        all_tokens.extend(toks if toks else [""])
-    tok_hashes = hash_str_array(all_tokens)
     simhash_vec = _segmented_simhash(tok_hashes, tok_offsets, cfg.simhash_bits)
 
     # exact-content fingerprint over the normalized token stream — the
@@ -252,11 +307,19 @@ def shingle_sets_map_fn(cfg: NDDConfig, text_col: str = "text"):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            sets = []
-            for text in pdf[text_col]:
+            n = len(pdf)
+            all_tokens: list[str] = []
+            tok_offsets = np.empty(n, dtype=np.int64)
+            for i, text in enumerate(pdf[text_col]):
+                tok_offsets[i] = len(all_tokens)
                 toks = tokenize(text or "")
-                sh = hash_str_array(shingle_strings(toks, cfg.shingle_k))
-                sets.append(np.unique(sh).view(np.int64))
+                all_tokens.extend(toks if toks else [""])
+            tok_hashes = hash_str_array(all_tokens)
+            sh, sh_off = shingle_hashes_flat(tok_hashes, tok_offsets, cfg.shingle_k)
+            ends = np.append(sh_off[1:], len(sh))
+            sets = [
+                np.unique(sh[sh_off[i] : ends[i]]).view(np.int64) for i in range(n)
+            ]
             yield pd.DataFrame({"url": pdf["url"], "shingles": sets})
 
     return fn
@@ -268,10 +331,18 @@ def prewarm_workers(spark) -> None:
     arithmetic; paying them before the timed run measures steady-state
     throughput — the quantity that actually scales with cores."""
     n = spark.sparkContext.defaultParallelism * 4
+    cfg = NDDConfig()
 
     def warm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        _buffer("minhash_work", (_TARGET_CELLS,), np.int64).fill(0)
-        _buffer("simhash_bits", (_TARGET_CELLS,), np.uint64).fill(0)
+        # run a real signature batch: faults in the work buffers AND the
+        # python/pandas/Arrow allocator arenas the hot path will reuse
+        a, b = perm_params(cfg.num_perms)
+        texts = pd.Series(
+            [" ".join(f"w{i}t{j}" for j in range(300)) for i in range(2000)]
+        )
+        compute_signatures_batch(
+            pd.Series([f"u{i}" for i in range(2000)]), texts, cfg, a, b
+        )
         for pdf in batches:
             yield pdf
 

@@ -27,15 +27,35 @@ def _sigs(pdf):
     return compute_signatures_batch(pdf.url, pdf.text, CFG, a, b)
 
 
+def _oracle_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Independent per-doc reimplementation of the engine's shingle-hash
+    family: seeded linear combination of the k token hashes per window,
+    computed with an explicit python loop (no shared vectorized code)."""
+    from near_duplicate_detection_spark.functions.signatures import (
+        _SHINGLE_COMBINE_SEED,
+    )
+
+    toks = tokenize(text) or [""]
+    th = hash_str_array(toks).view(np.int64)
+    coeffs, _ = perm_params(max(k, 1), seed=_SHINGLE_COMBINE_SEED)
+    ci = coeffs.view(np.int64)
+    out = []
+    if len(toks) < k:
+        acc = (ci[: len(toks)] * th).sum()
+        out.append(acc)
+    else:
+        for i in range(len(toks) - k + 1):
+            out.append((ci * th[i : i + k]).sum())
+    return np.unique(np.array(out, dtype=np.int64).view(np.uint64))
+
+
 def test_minhash_matches_bruteforce_permutation_min():
     pdf = generate_rows(np.arange(120))
     sig = _sigs(pdf)
     a, b = perm_params(CFG.num_perms)
     rng = np.random.RandomState(0)
     for i in rng.choice(len(pdf), 15, replace=False):
-        sh = np.unique(
-            hash_str_array(shingle_strings(tokenize(pdf.text.iloc[i]), CFG.shingle_k))
-        )
+        sh = _oracle_shingle_hashes(pdf.text.iloc[i], CFG.shingle_k)
         oracle = apply_perms(sh, a, b).min(axis=0).view(np.int64)
         assert (np.array(sig.minhash.iloc[i]) == oracle).all()
 
