@@ -78,24 +78,34 @@ def band_buckets(signatures: DataFrame, cfg: NDDConfig) -> DataFrame:
     )
 
 
+def flagged_buckets(buckets: DataFrame, cfg: NDDConfig) -> DataFrame:
+    return buckets.where(F.col("bucket_size") > cfg.max_bucket_size).select(
+        "band_id", "band_hash", "bucket_size"
+    )
+
+
+def pairs_from_buckets(buckets: DataFrame, cfg: NDDConfig) -> DataFrame:
+    """Map-side pair expansion of under-ceiling buckets, canonical + distinct."""
+    return (
+        buckets.where(F.col("bucket_size") <= cfg.max_bucket_size)
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select("p.url_a", "p.url_b")
+        .dropDuplicates(["url_a", "url_b"])
+    )
+
+
 def candidate_pairs(
     signatures: DataFrame, cfg: NDDConfig
 ) -> tuple[DataFrame, DataFrame]:
     """→ (pairs(url_a, url_b), flagged_buckets(band_id, band_hash, bucket_size)).
 
     pairs is distinct on the canonical (url_a < url_b) key across all bands.
+    Callers that take multiple actions over the results should materialize
+    band_buckets(...) once (it is small — multi-member buckets only) and use
+    pairs_from_buckets/flagged_buckets directly, as the pipeline does.
     """
     buckets = band_buckets(signatures, cfg)
-    flagged = buckets.where(F.col("bucket_size") > cfg.max_bucket_size).select(
-        "band_id", "band_hash", "bucket_size"
-    )
-    pairs = (
-        buckets.where(F.col("bucket_size") <= cfg.max_bucket_size)
-        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-        .select("p.url_a", "p.url_b")
-        .dropDuplicates(["url_a", "url_b"])
-    )
-    return pairs, flagged
+    return pairs_from_buckets(buckets, cfg), flagged_buckets(buckets, cfg)
 
 
 def simhash_fallback_pairs(

@@ -36,8 +36,10 @@ from near_duplicate_detection_spark.operators.connected_components import (
     connected_components,
 )
 from near_duplicate_detection_spark.operators.lsh import (
-    candidate_pairs,
+    band_buckets,
     exact_groups,
+    flagged_buckets,
+    pairs_from_buckets,
     simhash_fallback_pairs,
 )
 from near_duplicate_detection_spark.operators.substring import (
@@ -145,10 +147,13 @@ class NDDPipeline:
         # exact-dup star edges first; LSH sees one representative per
         # distinct content (collapses boilerplate/exact-dup bucket skew)
         exact_edges, reps = exact_groups(sigs)
-        reps = reps.localCheckpoint()
-        cands, flagged = candidate_pairs(reps, cfg)
-        flagged = flagged.localCheckpoint()
+        # materialize ONLY the multi-member band buckets (small) — every
+        # later action (flag count, pair expansion) derives map-side from it
+        # instead of recomputing the scan+window+groupBy subtree
+        buckets = band_buckets(reps, cfg).localCheckpoint()
+        flagged = flagged_buckets(buckets, cfg)
         n_flagged = flagged.count()
+        cands = pairs_from_buckets(buckets, cfg)
         if n_flagged:
             fallback = simhash_fallback_pairs(reps, flagged, cfg)
             cands = cands.union(fallback).dropDuplicates(["url_a", "url_b"])
