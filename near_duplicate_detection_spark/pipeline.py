@@ -130,9 +130,19 @@ class NDDPipeline:
         cat.mark_complete(
             "signatures", h, {b: counts.get(b, 0) for b in pending}, wall_ms
         )
+        # P4 analog (shotdetect.py:42-55 corrupt-input check): degenerate docs
+        # are kept but counted — downstream they can only form exact-dup
+        # groups with other empties, never LSH noise
+        n_empty = (
+            cat.read("signatures").where(F.col("n_tokens") == 0).count()
+        )
         cat.add_metrics(
             "signatures",
-            {"buckets_computed": len(pending), "wall_ms": wall_ms},
+            {
+                "buckets_computed": len(pending),
+                "wall_ms": wall_ms,
+                "empty_docs": n_empty,
+            },
         )
 
     # ---------- stage 2 ----------

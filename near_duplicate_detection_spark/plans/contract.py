@@ -545,6 +545,31 @@ FROM lineitem
 """
 
 
+def q_filter_validate(spark, sf_dir):
+    """P2/P3 (client_flask.py:83-94): pattern filter + safe-cast validation."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("source").rlike("^src[0-9]+$"))
+        .select(
+            "doc_id",
+            F.regexp_extract("source", "src([0-9]+)", 1)
+            .try_cast("int")
+            .alias("src_id"),
+        )
+        .where(F.col("src_id").isNotNull() & (F.col("src_id") % 2 == 0))
+    )
+
+
+SQL_FILTER_VALIDATE = """
+SELECT doc_id,
+       TRY_CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) AS src_id
+FROM documents
+WHERE regexp_matches(source, '^src[0-9]+$')
+  AND TRY_CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) IS NOT NULL
+  AND TRY_CAST(regexp_extract(source, 'src([0-9]+)', 1) AS INT) % 2 = 0
+"""
+
+
 def q_lang_id_markers(spark, sf_dir):
     """Language-ID by marker-word voting (training-pipeline op; A5-shaped
     argmax over a literal class array)."""
@@ -754,6 +779,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_fallback_chain": q_json_fallback_chain,
     "conditional_fallback": q_conditional_fallback,
     "lang_id_markers": q_lang_id_markers,
+    "filter_validate": q_filter_validate,
     "minhash_signatures": q_minhash_signatures,
     "lsh_candidate_pairs": q_lsh_candidate_pairs,
     "near_dup_clusters": q_near_dup_clusters,
@@ -786,6 +812,7 @@ ORACLES: dict[str, str] = {
     "json_fallback_chain": SQL_JSON_FALLBACK_CHAIN,
     "conditional_fallback": SQL_CONDITIONAL_FALLBACK,
     "lang_id_markers": SQL_LANG_ID_MARKERS,
+    "filter_validate": SQL_FILTER_VALIDATE,
     # minhash_signatures / lsh_candidate_pairs / near_dup_clusters /
     # simhash_hamming_topk: hash-family ops, not ANSI-SQL-expressible →
     # rows-only driver check (their correctness gates live in tests/).
