@@ -35,7 +35,10 @@ from pyspark.sql import functions as F
 
 from near_duplicate_detection_spark.config import NDDConfig
 from near_duplicate_detection_spark.functions.hashing import hash_str_array
-from near_duplicate_detection_spark.functions.suffix import longest_common_run
+from near_duplicate_detection_spark.functions.suffix import (
+    common_run_at_least,
+    longest_common_run,
+)
 from near_duplicate_detection_spark.functions.text import normalize_text
 from near_duplicate_detection_spark.operators.lsh import _PAIRS_EXPR
 
@@ -137,17 +140,18 @@ def verify_substring_pairs(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            runs = [
-                longest_common_run(
-                    normalize_text(ta or ""), normalize_text(tb or "")
-                )
-                for ta, tb in zip(pdf["text_a"], pdf["text_b"])
-            ]
+            runs = np.zeros(len(pdf), dtype=np.int64)
+            for i, (ta, tb) in enumerate(zip(pdf["text_a"], pdf["text_b"])):
+                na, nb = normalize_text(ta or ""), normalize_text(tb or "")
+                # vectorized rolling-hash prefilter rejects most pairs;
+                # the exact suffix-array LCS runs only on survivors
+                if common_run_at_least(na, nb, min_len):
+                    runs[i] = longest_common_run(na, nb)
             out = pd.DataFrame(
                 {
                     "url_a": pdf["url_a"],
                     "url_b": pdf["url_b"],
-                    "common_run": np.array(runs, dtype=np.int64),
+                    "common_run": runs,
                 }
             )
             yield out[out["common_run"] >= min_len]
