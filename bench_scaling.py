@@ -21,41 +21,49 @@ import sys
 import time
 
 RUN_SNIPPET = """
-import json, shutil, time, sys
+import json, os, shutil, time, sys
 from near_duplicate_detection_spark.session import get_spark
 from near_duplicate_detection_spark.config import NDDConfig
 from near_duplicate_detection_spark.pipeline import NDDPipeline
-from near_duplicate_detection_spark.sources.pages import generate_pages
 
 base, cores = sys.argv[1], sys.argv[2]
+repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 spark = get_spark(app_name=f"ndd-scaling-{cores}", master=f"local[{cores}]")
-pipe = NDDPipeline(spark, NDDConfig(), base)
-# Steady-state protocol: run the FULL job once untimed (same input, separate
-# catalog), then time the second run. The first run faults in JVM heap,
-# python worker arenas, and page cache; the sandbox microVM serves
-# never-touched guest memory at ~100 MB/s through a serial host fault path,
-# a lazily-restored-VM artifact that neither scales with cores nor exists on
-# a real cluster. The second run measures the engine's compute+shuffle.
+# Steady-state protocol: one untimed full run faults in JVM heap, python
+# worker arenas, and page cache (the sandbox microVM serves never-touched
+# guest memory through a serial ~100 MB/s host fault path -- a
+# lazily-restored-VM artifact, not engine cost). Then `repeats` timed runs;
+# min-of-repeats is reported because the shared host CPU supply fluctuates
+# in minutes-long episodes -- the minimum is the closest observable to an
+# unthrottled run.
+STAGES = ("stage1_signatures", "stage2_pairs", "stage2b_substring",
+          "stage3_clusters")
 from near_duplicate_detection_spark.functions.signatures import prewarm_workers
 prewarm_workers(spark)
 warm = NDDPipeline(spark, NDDConfig(), base + "_warm")
-warm.stage1_signatures(resume=False)
-warm.stage2_pairs(resume=False)
-warm.stage2b_substring(resume=False)
-warm.stage3_clusters(resume=False)
-t0 = time.monotonic()
-pipe.stage1_signatures(resume=False)
-t1 = time.monotonic()
-pipe.stage2_pairs(resume=False)
-t2 = time.monotonic()
-pipe.stage2b_substring(resume=False)
-t3 = time.monotonic()
-pipe.stage3_clusters(resume=False)
-t4 = time.monotonic()
-n = pipe.catalog.count_rows("clusters")
+for st in STAGES:
+    getattr(warm, st)(resume=False)
+runs = []
+for r in range(repeats):
+    cat_dir = f"{base}_r{r}"
+    os.makedirs(cat_dir)
+    shutil.copytree(base + "/pages", cat_dir + "/pages",
+                    copy_function=os.link)
+    pipe = NDDPipeline(spark, NDDConfig(), cat_dir)
+    ts = [time.monotonic()]
+    for st in STAGES:
+        getattr(pipe, st)(resume=False)
+        ts.append(time.monotonic())
+    n = pipe.catalog.count_rows("clusters")
+    runs.append({"wall_sec": round(ts[-1] - ts[0], 2),
+                 "stage_sec": [round(b - a, 2) for a, b in zip(ts, ts[1:])],
+                 "rows": n})
+    shutil.rmtree(cat_dir, ignore_errors=True)
+best = min(runs, key=lambda x: x["wall_sec"])
 print("SCALING_RESULT " + json.dumps({
-    "cores": int(cores), "rows": n, "wall_sec": round(t4 - t0, 2),
-    "stage_sec": [round(t1-t0,2), round(t2-t1,2), round(t3-t2,2), round(t4-t3,2)],
+    "cores": int(cores), "rows": best["rows"], "wall_sec": best["wall_sec"],
+    "stage_sec": best["stage_sec"],
+    "all_walls": [x["wall_sec"] for x in runs],
 }))
 spark.stop()
 """
@@ -98,10 +106,11 @@ spark.stop()
     print(f"setup (generate+ingest {n_docs} docs): {time.monotonic()-t0:.1f}s")
 
     trials = int(os.environ.get("NDD_SCALING_TRIALS", "1"))
-    results = []
-    for cores in (lo, hi):
-        best = None
-        for t in range(trials):
+    best: dict[int, dict] = {}
+    # trials interleave the two core counts so slow drifts in host CPU supply
+    # (shared sandbox) hit both legs equally; best-of-trials per leg
+    for t in range(trials):
+        for cores in (lo, hi):
             base = f"{work}/run{cores}_{t}"
             os.makedirs(base)
             os.makedirs(base + "_warm")
@@ -112,11 +121,15 @@ spark.stop()
                 ["cp", "-al", f"{work}/seed/pages", f"{base}_warm/pages"], check=True
             )
             res = run_at(base, cores)
-            print(json.dumps(res))
-            if best is None or res["wall_sec"] < best["wall_sec"]:
-                best = res
-        best["docs_per_sec"] = round(n_docs / best["wall_sec"], 1)
-        results.append(best)
+            print(json.dumps(res), flush=True)
+            if cores not in best or res["wall_sec"] < best[cores]["wall_sec"]:
+                best[cores] = res
+            subprocess.run(["rm", "-rf", base, base + "_warm"])
+    results = []
+    for cores in (lo, hi):
+        b = best[cores]
+        b["docs_per_sec"] = round(n_docs / b["wall_sec"], 1)
+        results.append(b)
 
     tp_lo, tp_hi = results[0]["docs_per_sec"], results[1]["docs_per_sec"]
     eff = round((tp_hi / tp_lo) / (hi / lo), 3)
