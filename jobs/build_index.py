@@ -1,0 +1,82 @@
+"""spark-submit entry point: build (or resume) the near-duplicate index.
+
+Usage:
+    zip -r ndd.zip near_duplicate_detection_spark/
+    spark-submit --py-files ndd.zip jobs/build_index.py \
+        --pages /path/to/pages_parquet --catalog /path/to/catalog \
+        [--n-synthetic 100000] [--no-resume] [--no-substring] \
+        [--shingle-k 5] [--num-perms 128] [--bands 32] [--rows 4] \
+        [--jaccard 0.6] [--buckets 16]
+
+Exactly one of --pages (existing parquet with the input_hint schema) or
+--n-synthetic (deterministic generator) selects the input. Re-running with
+the same catalog resumes from lineage (the reference's `.done` semantics,
+ndd/extract_features.py:88, distributed).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--pages", help="parquet dir: url, warc_ts, html, text, lang")
+    src.add_argument("--n-synthetic", type=int, help="generate N synthetic pages")
+    ap.add_argument("--catalog", required=True, help="stage-table catalog dir")
+    ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--no-substring", action="store_true")
+    ap.add_argument("--shingle-k", type=int, default=5)
+    ap.add_argument("--num-perms", type=int, default=128)
+    ap.add_argument("--bands", type=int, default=32)
+    ap.add_argument("--rows", type=int, default=4)
+    ap.add_argument("--jaccard", type=float, default=0.6)
+    ap.add_argument("--buckets", type=int, default=16)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from near_duplicate_detection_spark.config import NDDConfig
+    from near_duplicate_detection_spark.pipeline import NDDPipeline
+
+    # spark-submit provides the session config (master, executors, memory);
+    # getOrCreate attaches to it instead of hard-coding local-mode settings
+    spark = SparkSession.builder.appName("ndd-build").getOrCreate()
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    cfg = NDDConfig(
+        shingle_k=args.shingle_k,
+        num_perms=args.num_perms,
+        lsh_bands=args.bands,
+        lsh_rows=args.rows,
+        jaccard_threshold=args.jaccard,
+        num_buckets=args.buckets,
+    )
+    pipe = NDDPipeline(spark, cfg, args.catalog)
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+    else:
+        from near_duplicate_detection_spark.sources.pages import generate_pages
+
+        pages = generate_pages(spark, args.n_synthetic)
+    clusters = pipe.run(
+        pages, resume=not args.no_resume, substring_pass=not args.no_substring
+    )
+    stats = {
+        "clusters_rows": pipe.catalog.count_rows("clusters"),
+        "pairs": pipe.catalog.count_rows("pairs"),
+        "metrics": {
+            f"{r['stage']}/{r['key']}": r["value"]
+            for r in pipe.catalog.metrics().collect()
+        },
+    }
+    print(json.dumps(stats))
+    _ = clusters
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

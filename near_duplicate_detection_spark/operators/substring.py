@@ -104,7 +104,12 @@ def substring_candidates(
     windows = pages.select("url", text_col).mapInPandas(
         window_fingerprint_fn(cfg, text_col), schema=WINDOW_SCHEMA
     )
-    counts = windows.groupBy("win_hash").count().where(F.col("count") >= 2)
+    # multi-doc window hashes are rare → materialize them once (small); the
+    # flagged metric and the pruning join both derive from this checkpoint
+    # instead of re-running the fingerprint pass
+    counts = (
+        windows.groupBy("win_hash").count().where(F.col("count") >= 2)
+    ).localCheckpoint()
     flagged = counts.where(F.col("count") > cfg.max_bucket_size).select(
         "win_hash", F.col("count").alias("bucket_size")
     )

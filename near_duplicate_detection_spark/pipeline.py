@@ -89,7 +89,7 @@ class NDDPipeline:
             with_bucket.repartition("bucket"),
             "pages",
             partition_by=["bucket"],
-            max_records_per_file=4096,
+            max_records_per_file=2048,
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
         counts = cat.bucket_counts("pages")
@@ -123,7 +123,7 @@ class NDDPipeline:
         # input partitions are bucket-pure (stage 0), so this partitioned
         # write emits one file per task, no fan-out
         cat.write(
-            sigs, "signatures", partition_by=["bucket"], max_records_per_file=4096
+            sigs, "signatures", partition_by=["bucket"], max_records_per_file=2048
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
         counts = cat.bucket_counts("signatures")
