@@ -137,7 +137,9 @@ def verify_substring_pairs(
     # Spread candidate pairs across all cores BEFORE the python LCS UDF:
     # AQE coalesces the (tiny-by-bytes) pair shuffle to one partition, which
     # would serialize the expensive per-pair suffix-array work on one core.
-    n_parts = pairs.sparkSession.sparkContext.defaultParallelism
+    # 4 partitions per core: the per-pair LCS cost is highly variable, so a
+    # finer grain keeps the last wave short (straggler tail)
+    n_parts = pairs.sparkSession.sparkContext.defaultParallelism * 4
     joined = pairs.join(a, "url_a").join(b, "url_b").repartition(n_parts)
     min_len = cfg.substring_min_len
 
