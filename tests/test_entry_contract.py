@@ -6,13 +6,17 @@ from __future__ import annotations
 
 import math
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
 
-SF_DIR = "/root/testdata/sf0.001"
+# default: fast smoke scale; the driver compares at sf0.01 — spot-check with
+#   NDD_TEST_SF=/root/testdata/sf0.01 python -m pytest tests/test_entry_contract.py
+SF_DIR = os.environ.get("NDD_TEST_SF", "/root/testdata/sf0.001")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
