@@ -91,9 +91,22 @@ class StageCatalog:
         )
         return set(tbl.column("partition_id").to_pylist())
 
-    def count_rows(self, table: str) -> int:
-        """Row count from parquet footers only — no Spark job, no data read."""
-        return pads.dataset(self.path(table), format="parquet").count_rows()
+    def count_rows(
+        self, table: str, filter_expr: tuple[str, str, object] | None = None
+    ) -> int:
+        """Row count from parquet footers (no Spark job); an optional
+        (column, op, value) predicate is pushed into row-group statistics —
+        pyarrow reads only groups the stats can't decide."""
+        ds = pads.dataset(self.path(table), format="parquet")
+        if filter_expr is None:
+            return ds.count_rows()
+        col, op, val = filter_expr
+        f = {
+            "==": pads.field(col) == val,
+            "<": pads.field(col) < val,
+            ">": pads.field(col) > val,
+        }[op]
+        return ds.count_rows(filter=f)
 
     def bucket_counts(self, table: str) -> dict[int, int]:
         """Per-bucket row counts of a bucket-partitioned table (footers only)."""

@@ -1,18 +1,29 @@
-"""Iterative DataFrame connected components (min-label propagation).
+"""Iterative DataFrame connected components (min-label + pointer jumping).
 
 Generalizes the reference's per-(videoid, shot) dedup grouping
 (ndd/server_ndd.py:127-141: keep-first per key over sorted hits) to full
 transitive closure over verified duplicate pairs — the step that turns pair
 evidence into cluster assignments.
 
-Algorithm: min-label propagation. Every node starts labeled with itself
-(labels are urls; string min is total and deterministic). Each round, a node
-takes the min of its label and its neighbors' labels — one hash join
-edges⋈labels plus one groupBy(min). Converges in O(diameter) rounds; web
-duplicate clusters are shallow (dozens at most), and each round is
-``localCheckpoint``-ed to truncate the growing plan lineage (Spark has no
-fixpoint operator — the loop is driver-driven, the data never leaves
-executors).
+Algorithm: min-label propagation WITH pointer jumping. Every node starts
+labeled with itself (labels are urls; string min is total and deterministic).
+Each round a node takes the min over
+
+    {its label} ∪ {neighbors' labels} ∪ {its label's label}   (pointer jump)
+
+The jump term treats the label as a parent pointer and halves chain depth
+each round, so convergence is O(log diameter) rounds — same asymptotic bound
+as alternating large-star/small-star but with one fewer shuffle per round
+(no re-materialized edge set, the edge set is static here). Web duplicate
+clusters are shallow stars/triangles; chains only arise through transitive
+substring links, and the jump term bounds those too.
+
+Each round is ONE job: join edges⋈labels (neighbor min) + self-join on the
+parent pointer + groupBy(min), materialized with ``localCheckpoint`` to
+truncate plan lineage. Convergence is folded into the round's output as a
+``changed`` column — detecting the fixpoint is a cheap scan of the freshly
+checkpointed partitions, not a separate old⋈new join (the round-trip that
+made this stage anti-scale 8→32 cores in round 1).
 
 At 100 TB the edge set is a tiny fraction of the corpus (only candidate pairs
 that verified), so per-round shuffle cost is proportional to duplicate
@@ -25,9 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(
-    edges: DataFrame, max_iter: int = 25
-) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """edges(url_a, url_b) → labels(url, label) for every node in the edge set.
 
     label = lexicographic-min url reachable from the node (cluster rep).
@@ -52,24 +61,31 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # pointer jump: label(u) ← label(label(u)); labels' keys cover every
+        # node and every label IS a node, so the inner self-join is total
+        parents = labels.select(
+            F.col("url").alias("p_url"), F.col("label").alias("p_label")
+        )
         new_labels = (
             labels.join(neighbor_min, labels.url == neighbor_min.src, "left")
+            .join(parents, labels.label == parents.p_url, "left")
             .select(
                 "url",
+                F.col("label").alias("old_label"),
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                    F.col("label"),
+                    F.coalesce("nbr_label", F.col("label")),
+                    F.coalesce("p_label", F.col("label")),
                 ).alias("label"),
             )
+            .withColumn("changed", F.col("label") != F.col("old_label"))
+            .drop("old_label")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "url")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        # fixpoint test over the partitions the checkpoint just materialized —
+        # no extra join, near-zero cost
+        changed = new_labels.where("changed").limit(1).count()
+        labels = new_labels.drop("changed")
         if changed == 0:
             break
     return labels
@@ -79,21 +95,19 @@ def clusters_table(labels: DataFrame, all_urls: DataFrame) -> DataFrame:
     """→ clusters(url, cluster_id, is_representative) covering EVERY url.
 
     Docs with no duplicate edge form singleton clusters of themselves.
-    cluster_id is a stable 64-bit hash of the representative url;
-    representative = min url of the component (SURVEY A5 analog:
-    min_by(url, url) — the reference picks the nearest canonical class,
-    ndd/extract_aspect_ratio.py:46-47).
+    cluster_id IS the representative url (min url of the component — SURVEY
+    A5 analog: min_by(url, url); the reference picks the nearest canonical
+    class, ndd/extract_aspect_ratio.py:46-47). A string id costs a few bytes
+    over a hashed long but cannot collide: a 64-bit hash id at the target
+    10^12-doc scale (~10^11 clusters) would see birthday collisions from
+    ~2^32 ids on, silently merging unrelated clusters.
     """
     return (
         all_urls.select("url")
         .join(labels, "url", "left")
         .select(
             "url",
-            F.coalesce("label", F.col("url")).alias("label"),
+            F.coalesce("label", F.col("url")).alias("cluster_id"),
         )
-        .select(
-            "url",
-            F.xxhash64("label").alias("cluster_id"),
-            (F.col("url") == F.col("label")).alias("is_representative"),
-        )
+        .withColumn("is_representative", F.col("url") == F.col("cluster_id"))
     )

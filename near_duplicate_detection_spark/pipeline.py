@@ -113,11 +113,15 @@ class NDDPipeline:
         todo = self.pages_table().where(
             F.col("bucket").isin([int(b) for b in pending])
         )
+        # bucket recomputed JVM-side after the UDF — it is a pure function of
+        # url (the stage-0 expression, see stage0_ingest), so no Python
+        # passthrough layer is needed and the map stays single-column-pure
         sigs = (
-            todo.select("url", "text", "bucket")
-            .mapInPandas(
-                _with_passthrough(signature_map_fn(cfg)),
-                schema=SIGNATURE_SCHEMA + ", bucket int",
+            todo.select("url", "text")
+            .mapInPandas(signature_map_fn(cfg), schema=SIGNATURE_SCHEMA)
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int"),
             )
         )
         # input partitions are bucket-pure (stage 0), so this partitioned
@@ -132,10 +136,10 @@ class NDDPipeline:
         )
         # P4 analog (shotdetect.py:42-55 corrupt-input check): degenerate docs
         # are kept but counted — downstream they can only form exact-dup
-        # groups with other empties, never LSH noise
-        n_empty = (
-            cat.read("signatures").where(F.col("n_tokens") == 0).count()
-        )
+        # groups with other empties, never LSH noise. Counted from parquet
+        # row-group statistics (pyarrow filtered count, driver-side) — the
+        # round-1 full Spark scan here was a pure serial tail.
+        n_empty = cat.count_rows("signatures", filter_expr=("n_tokens", "==", 0))
         cat.add_metrics(
             "signatures",
             {
@@ -268,23 +272,6 @@ class NDDPipeline:
             self.stage2b_substring(resume)
         self.stage3_clusters(resume)
         return self.catalog.read("clusters")
-
-
-def _with_passthrough(sig_fn):
-    """Wrap the signature map fn to carry the bucket column through."""
-    import pandas as pd
-
-    def fn(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            bucket_of = dict(zip(pdf["url"], pdf["bucket"]))
-            for out in sig_fn(iter([pdf])):
-                out = out.copy()
-                out["bucket"] = out["url"].map(bucket_of).astype("int32")
-                yield out
-
-    return fn
 
 
 # ---------- flagship read path (reference SURVEY §3.1) ----------

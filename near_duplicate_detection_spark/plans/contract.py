@@ -420,9 +420,11 @@ WITH flagged AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sess AS (
+  -- CAST: DuckDB windowed sum returns HUGEINT which lands as float64 in
+  -- fetchdf(); Spark emits bigint and the driver value-hash is dtype-sensitive
   SELECT user_id, event_id,
-         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged)
 SELECT user_id, session_id, count(*) AS n_events, min(event_id) AS first_event
 FROM sess GROUP BY user_id, session_id
@@ -660,13 +662,19 @@ def q_lsh_candidate_pairs(spark, sf_dir):
 
 
 def q_near_dup_clusters(spark, sf_dir):
-    """A7: connected components over verified pairs — rows-only check."""
+    """A7: connected components + cluster table over an exact near-dup edge
+    set (token-set Jaccard ≥ 0.9 on the %10 doc subset — SQL-reproducible,
+    unlike LSH candidates, so the DISTRIBUTED CC operator itself is checked
+    against a DuckDB recursive-CTE transitive closure). The LSH-driven
+    clustering path keeps its recall gates in tests/."""
     from near_duplicate_detection_spark.operators.connected_components import (
         clusters_table,
         connected_components,
     )
 
-    pairs = q_lsh_candidate_pairs(spark, sf_dir).select(
+    edges = q_ngram_jaccard_pairs(spark, sf_dir).where(
+        F.col("jaccard") >= 0.9
+    ).select(
         F.col("doc_a").cast("string").alias("url_a"),
         F.col("doc_b").cast("string").alias("url_b"),
     )
@@ -674,10 +682,49 @@ def q_near_dup_clusters(spark, sf_dir):
         _t(spark, sf_dir, "documents")
         .select(F.col("doc_id").cast("string").alias("url"))
     )
-    labels = connected_components(pairs)
-    return clusters_table(labels, all_urls).select(
-        F.col("url").cast("bigint").alias("doc_id"), "cluster_id", "is_representative"
+    labels = connected_components(edges)
+    clusters = clusters_table(labels, all_urls)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size")
     )
+    return clusters.join(sizes, "cluster_id").select(
+        F.col("url").cast("bigint").alias("doc_id"),
+        "cluster_id",
+        "is_representative",
+        "cluster_size",
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+  FROM documents WHERE doc_id % 10 = 0),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM d a JOIN d b ON a.doc_id <> b.doc_id
+  WHERE round(len(list_intersect(a.toks, b.toks))
+        / CAST(len(a.toks) + len(b.toks)
+               - len(list_intersect(a.toks, b.toks)) AS DOUBLE), 6) >= 0.9),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM d
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+comp AS (
+  -- min over the STRING form: the engine's labels are urls and string min
+  -- is its deterministic representative rule
+  SELECT node AS doc_id, min(CAST(lbl AS VARCHAR)) AS cluster_id
+  FROM reach GROUP BY node),
+full_c AS (
+  SELECT doc.doc_id,
+         coalesce(c.cluster_id, CAST(doc.doc_id AS VARCHAR)) AS cluster_id
+  FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.doc_id)
+SELECT f.doc_id, f.cluster_id,
+       (CAST(f.doc_id AS VARCHAR) = f.cluster_id) AS is_representative,
+       s.cluster_size
+FROM full_c f
+JOIN (SELECT cluster_id, count(*) AS cluster_size
+      FROM full_c GROUP BY 1) s USING (cluster_id)
+"""
 
 
 def q_simhash_hamming_topk(spark, sf_dir):
@@ -722,11 +769,45 @@ def q_ann_lsh_topk(spark, sf_dir):
 
 
 def q_quality_features_full(spark, sf_dir):
-    """Gopher/C4-style quality feature vector per doc — rows-only."""
+    """Gopher/C4-style quality feature vector per doc (pure column math —
+    every term has a DuckDB list-function equivalent)."""
     from near_duplicate_detection_spark.functions.textstats import quality_features
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return quality_features(d).drop("text")
+
+
+def _sql_quality_features_full() -> str:
+    from near_duplicate_detection_spark.functions.textstats import LANG_MARKERS
+
+    en = LANG_MARKERS["en"]
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(text), '\\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+             x -> list_contains({en!r}, x))) AS n_stop
+  FROM documents),
+f AS (
+  SELECT doc_id, len(toks) AS nt, n_chars, n_punct, n_stop,
+         len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS dr
+  FROM t)
+SELECT doc_id,
+       nt AS q_n_tokens,
+       n_chars AS q_n_chars,
+       round(dr, 6) AS q_distinct_ratio,
+       n_punct AS q_n_punct,
+       round((n_chars - nt + 1) / CAST(nt AS DOUBLE), 6) AS q_mean_token_len,
+       round(least(nt / 50.0, 1.0) * 0.4
+             + least(dr * 2, 1.0) * 0.3
+             + least(n_stop / 5.0, 1.0) * 0.3, 6) AS q_score
+FROM f
+"""
+
+
+SQL_QUALITY_FEATURES_FULL = _sql_quality_features_full()
 
 
 def q_multimodal_frame_features(spark, sf_dir):
@@ -752,6 +833,80 @@ def q_multimodal_frame_features(spark, sf_dir):
     return feats.select(
         "media_id", "frame_idx", F.size("embedding").alias("dim")
     )
+
+
+# the embedding VALUES are stub-codec-defined (no SQL equivalent), but the
+# frame GRID and dimension are pure arithmetic: one frame per second over
+# duration_ms = n_chars*10, dim constant — fully SQL-checkable
+SQL_MULTIMODAL_FRAME_FEATURES = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(unnest(range(0, greatest(n_chars*10 - 1, 0) // 1000 + 1))
+            AS INTEGER) AS frame_idx,
+       CAST(64 AS INTEGER) AS dim
+FROM documents WHERE doc_id < 50
+"""
+
+
+def q_substring_pairs(spark, sf_dir):
+    """U5 / stage 2b: exact long-repeat detection (content-defined anchored
+    windows → bucket join → suffix-array LCS verify; functions/suffix.py,
+    operators/substring.py). Texts are CONSTRUCTED deterministically from
+    doc_id so the planted ≥200-char shared runs — docs i and j share a run
+    iff i ≡ j (mod 250) — are reproducible in ANSI SQL, making the full
+    operator chain oracle-checkable (graft of the reference's exact
+    verification semantics, ndd/server_ndd.py:104-112)."""
+    from near_duplicate_detection_spark.config import NDDConfig
+    from near_duplicate_detection_spark.operators.substring import (
+        substring_candidates,
+        verify_substring_pairs,
+    )
+
+    cfg = NDDConfig()
+    base = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(29)),
+            lambda j: F.format_string("b%04dx%02d", F.col("doc_id"), j),
+        ),
+        " ",
+    )
+    # run tokens are md5-derived (identical function in Spark and DuckDB):
+    # full-entropy content keeps the content-defined anchor hash uncorrelated
+    # — low-entropy digit patterns cluster the rolling hash mod d and can
+    # starve a run of anchors
+    run = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(39)),
+            lambda j: F.substring(
+                F.md5(
+                    F.encode(
+                        F.format_string("r%d-%d", F.col("doc_id") % 250, j),
+                        "utf-8",
+                    )
+                ),
+                1,
+                8,
+            ),
+        ),
+        " ",
+    )
+    pages = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.concat(base, F.lit(" "), run).alias("text"),
+    )
+    cands, _flagged = substring_candidates(pages, cfg)
+    hits = verify_substring_pairs(cands, pages, cfg)
+    return hits.select("url_a", "url_b")
+
+
+SQL_SUBSTRING_PAIRS = """
+SELECT least(CAST(a.doc_id AS VARCHAR), CAST(b.doc_id AS VARCHAR)) AS url_a,
+       greatest(CAST(a.doc_id AS VARCHAR), CAST(b.doc_id AS VARCHAR)) AS url_b
+FROM documents a JOIN documents b
+  ON a.doc_id < b.doc_id AND a.doc_id % 250 = b.doc_id % 250
+"""
+# (the oracle needs no text reconstruction: the planted-run grouping is pure
+# id arithmetic; the md5 run content exists only so the ENGINE has real
+# ≥200-char shared runs to find)
 
 
 # ---------------------------------------------------------------- registry
@@ -787,6 +942,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "quality_features_full": q_quality_features_full,
     "multimodal_frame_features": q_multimodal_frame_features,
+    "substring_pairs": q_substring_pairs,
 }
 
 ORACLES: dict[str, str] = {
@@ -813,7 +969,13 @@ ORACLES: dict[str, str] = {
     "conditional_fallback": SQL_CONDITIONAL_FALLBACK,
     "lang_id_markers": SQL_LANG_ID_MARKERS,
     "filter_validate": SQL_FILTER_VALIDATE,
-    # minhash_signatures / lsh_candidate_pairs / near_dup_clusters /
-    # simhash_hamming_topk: hash-family ops, not ANSI-SQL-expressible →
-    # rows-only driver check (their correctness gates live in tests/).
+    "near_dup_clusters": SQL_NEAR_DUP_CLUSTERS,
+    "quality_features_full": SQL_QUALITY_FEATURES_FULL,
+    "multimodal_frame_features": SQL_MULTIMODAL_FRAME_FEATURES,
+    "substring_pairs": SQL_SUBSTRING_PAIRS,
+    # minhash_signatures / lsh_candidate_pairs / simhash_hamming_topk /
+    # ann_lsh_topk: genuinely hash-family-bound (seeded MinHash permutations,
+    # band mixing, SimHash bit votes, random hyperplanes have no ANSI-SQL
+    # equivalent) → rows-only driver check; their correctness gates are the
+    # brute-force oracles in tests/ (test_signatures, test_similarity).
 }

@@ -50,7 +50,9 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     rows = df.collect()
     assert len(rows) >= 0
-    assert set(df.columns) == {"doc_id", "cluster_id", "is_representative"}
+    assert set(df.columns) == {
+        "doc_id", "cluster_id", "is_representative", "cluster_size"
+    }
 
 
 def test_every_query_has_callable_and_runs(spark):
@@ -61,12 +63,25 @@ def test_every_query_has_callable_and_runs(spark):
         assert df.count() >= 0, name
 
 
+def _kind(dtype) -> str:
+    """Dtype KIND must match across engines: the driver's value hash is
+    dtype-sensitive in the int-vs-float sense (sessionize round-1 fail:
+    DuckDB HUGEINT→float64 vs Spark bigint) but not in int width
+    (token_count passed with int32 vs int64)."""
+    k = dtype.kind
+    return {"i": "int", "u": "int", "f": "float", "b": "bool"}.get(k, "obj")
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
 def test_oracle_match(spark, duck, name):
     spark_pdf = entry_mod.queries()[name](spark, SF_DIR).toPandas()
     duck_pdf = duck.execute(entry_mod.oracle_sql()[name]).fetchdf()
     assert sorted(spark_pdf.columns) == sorted(duck_pdf.columns), name
     assert len(spark_pdf) == len(duck_pdf), name
+    for c in spark_pdf.columns:
+        assert _kind(spark_pdf[c].dtype) == _kind(duck_pdf[c].dtype), (
+            f"{name}.{c}: {spark_pdf[c].dtype} vs {duck_pdf[c].dtype}"
+        )
     a, b = _normalize(spark_pdf), _normalize(duck_pdf)
     if len(a):
         pd.testing.assert_frame_equal(a, b, check_dtype=False, atol=1e-8)
