@@ -38,7 +38,11 @@ class NDDConfig:
     substring_anchor_mod: int = 16   # anchor density: 1 per `mod` chars expected
     substring_min_len: int = 200     # min shared run to link a pair
     # --- layout ---
-    num_buckets: int = 16            # url-hash partitions for lineage granularity
+    # url-hash partitions for lineage granularity. ≥2× the largest local core
+    # count (and thousands on a real cluster): stage-0/1 partitioned writes
+    # run one task per bucket, so a low count caps write parallelism — the
+    # round-1 value (16) throttled 32-core runs.
+    num_buckets: int = 64
     shuffle_partitions: int = 32
 
     def __post_init__(self) -> None:

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 LINEAGE_SCHEMA = (
     "stage string, partition_id int, config_hash string, rows bigint, "
-    "wall_ms bigint, completed_at timestamp"
+    "checksum bigint, wall_ms bigint, completed_at timestamp"
 )
 METRICS_SCHEMA = "stage string, key string, value double"
 
@@ -80,8 +80,9 @@ class StageCatalog:
     def completed_partitions(self, stage: str, config_hash: str) -> set[int]:
         """The resume predicate (reference P1, ndd/extract_features.py:88):
         a partition is complete iff a lineage row with the SAME config hash
-        exists — param changes upstream invalidate it automatically because
-        the hash chains upstream hashes (config.py)."""
+        exists — param AND upstream-content changes invalidate it because
+        the hash chains upstream hashes and content fingerprints
+        (config.py + content_fingerprint)."""
         if not self.exists("lineage"):
             return set()
         tbl = pads.dataset(self.path("lineage"), format="parquet").to_table(
@@ -90,6 +91,42 @@ class StageCatalog:
             & (pads.field("config_hash") == config_hash),
         )
         return set(tbl.column("partition_id").to_pylist())
+
+    def latest_partition_stats(
+        self, stage: str, config_hash: str | None = None
+    ) -> dict[int, tuple[int, int]]:
+        """Latest (rows, checksum) per partition of a stage — the per-bucket
+        CONTENT the stage last committed. The data-aware half of the resume
+        predicate: a bucket is only 'done' if its stored stats still match
+        the current upstream stats (the reference chains upstream content
+        versions into each .done, ndd/extract_images.py:166-178)."""
+        if not self.exists("lineage"):
+            return {}
+        flt = pads.field("stage") == stage
+        if config_hash is not None:
+            flt = flt & (pads.field("config_hash") == config_hash)
+        tbl = pads.dataset(self.path("lineage"), format="parquet").to_table(
+            columns=["partition_id", "rows", "checksum", "completed_at"],
+            filter=flt,
+        )
+        pdf = tbl.to_pandas().sort_values("completed_at")
+        out: dict[int, tuple[int, int]] = {}
+        for pid, rows, cks in zip(pdf["partition_id"], pdf["rows"], pdf["checksum"]):
+            out[int(pid)] = (int(rows), int(cks))
+        return out
+
+    def content_fingerprint(self, stage: str) -> str:
+        """Digest of a stage table's current per-partition content stats —
+        chained into DOWNSTREAM stage hashes so that appending, deleting, or
+        rewriting upstream rows invalidates every dependent stage (round-1
+        resume was param-only and silently served stale pairs/clusters)."""
+        import hashlib
+
+        stats = self.latest_partition_stats(stage)
+        blob = ";".join(
+            f"{pid}:{rows}:{cks}" for pid, (rows, cks) in sorted(stats.items())
+        )
+        return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
     def count_rows(
         self, table: str, filter_expr: tuple[str, str, object] | None = None
@@ -107,6 +144,16 @@ class StageCatalog:
             ">": pads.field(col) > val,
         }[op]
         return ds.count_rows(filter=f)
+
+    def drop_partition(self, table: str, bucket: int) -> None:
+        """Remove one bucket partition dir (delete handling: a bucket whose
+        input rows all vanished is never rewritten by dynamic overwrite)."""
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.path(table), f"bucket={bucket}"),
+            ignore_errors=True,
+        )
 
     def bucket_counts(self, table: str) -> dict[int, int]:
         """Per-bucket row counts of a bucket-partitioned table (footers only)."""
@@ -136,6 +183,7 @@ class StageCatalog:
             ("partition_id", pa.int32()),
             ("config_hash", pa.string()),
             ("rows", pa.int64()),
+            ("checksum", pa.int64()),
             ("wall_ms", pa.int64()),
             ("completed_at", pa.timestamp("us")),
         ]
@@ -145,16 +193,27 @@ class StageCatalog:
     )
 
     def mark_complete(
-        self, stage: str, config_hash: str, partition_rows: dict[int, int], wall_ms: int
+        self,
+        stage: str,
+        config_hash: str,
+        partition_rows: dict[int, int],
+        wall_ms: int,
+        checksums: dict[int, int] | None = None,
     ) -> None:
+        """checksums: optional per-partition content checksum (url-hash sum)
+        — stored so later runs can detect content drift, not just row-count
+        drift (an append+delete that keeps the count would otherwise slip
+        through)."""
         now = pd.Timestamp(int(time.time()), unit="s")
+        cks = checksums or {}
         pdf = pd.DataFrame(
             [
-                (stage, int(pid), config_hash, int(nrows), int(wall_ms), now)
+                (stage, int(pid), config_hash, int(nrows),
+                 int(cks.get(pid, 0)), int(wall_ms), now)
                 for pid, nrows in partition_rows.items()
             ],
             columns=["stage", "partition_id", "config_hash", "rows",
-                     "wall_ms", "completed_at"],
+                     "checksum", "wall_ms", "completed_at"],
         )
         self._append_small("lineage", pdf, self._LINEAGE_PA)
 

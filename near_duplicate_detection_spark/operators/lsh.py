@@ -84,14 +84,19 @@ def flagged_buckets(buckets: DataFrame, cfg: NDDConfig) -> DataFrame:
     )
 
 
-def pairs_from_buckets(buckets: DataFrame, cfg: NDDConfig) -> DataFrame:
-    """Map-side pair expansion of under-ceiling buckets, canonical + distinct."""
-    return (
+def pairs_from_buckets(
+    buckets: DataFrame, cfg: NDDConfig, dedup: bool = True
+) -> DataFrame:
+    """Map-side pair expansion of under-ceiling buckets, canonical + distinct.
+
+    dedup=False defers the distinct shuffle to the caller — the pipeline
+    unions these with the SimHash fallback pairs and dedups ONCE."""
+    out = (
         buckets.where(F.col("bucket_size") <= cfg.max_bucket_size)
         .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
         .select("p.url_a", "p.url_b")
-        .dropDuplicates(["url_a", "url_b"])
     )
+    return out.dropDuplicates(["url_a", "url_b"]) if dedup else out
 
 
 def candidate_pairs(
@@ -109,7 +114,8 @@ def candidate_pairs(
 
 
 def simhash_fallback_pairs(
-    signatures: DataFrame, flagged: DataFrame, cfg: NDDConfig, prefix_bits: int = 16
+    signatures: DataFrame, flagged: DataFrame, cfg: NDDConfig,
+    prefix_bits: int = 16, dedup: bool = True,
 ) -> DataFrame:
     """Recall fallback for members of over-ceiling LSH buckets.
 
@@ -134,12 +140,12 @@ def simhash_fallback_pairs(
         ).alias("sim_prefix"),
     )
     w = Window.partitionBy("sim_prefix")
-    return (
+    out = (
         sims.withColumn("hub", F.min("url").over(w))
         .where(F.col("url") != F.col("hub"))
         .select(
             F.least("hub", "url").alias("url_a"),
             F.greatest("hub", "url").alias("url_b"),
         )
-        .dropDuplicates(["url_a", "url_b"])
     )
+    return out.dropDuplicates(["url_a", "url_b"]) if dedup else out

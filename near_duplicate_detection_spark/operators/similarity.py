@@ -94,21 +94,42 @@ def ann_topk(
     index: DataFrame, queries: DataFrame, planes: np.ndarray, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "vec",
     query_id_col: str = "query_id", query_vec_col: str = "qvec",
+    probe_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only same-bucket candidates (single probe).
+    """Approximate top-k: score candidates in the query's own bucket plus
+    all buckets within Hamming distance ``probe_hamming`` of its code
+    (multi-probe sign-LSH).
 
     At corpus scale the bucket equi-join replaces the O(N·Q) cross join with
     a hash join on the bucket code — the vector analog of the dedup engine's
-    LSH band join. Expected candidate fraction ≈ 2^-n_planes per bucket times
-    collision-rate of similar vectors (sign-LSH: P[same bit] = 1 - θ/π).
+    LSH band join. Single-probe recall decays fast with n_planes (a near
+    neighbor flips each bit w.p. θ/π, so P[same bucket] = (1-θ/π)^n_planes);
+    probing the n_planes one-bit-flip neighbors too recovers exactly the
+    most likely misses for (n_planes+1)× join fan-out on the SMALL (query)
+    side only — the index is never replicated. probe_hamming=0 restores the
+    single-probe plan.
     """
     idx = with_bucket_code(index, planes, vec_col, "bucket")
     q = with_bucket_code(
         queries.withColumnRenamed(query_vec_col, "_qv"), planes, "_qv", "bucket"
     ).withColumnRenamed("_qv", query_vec_col)
+    if probe_hamming >= 1:
+        # explode the query side into its probe set (own code + every
+        # one-bit flip) — JVM-side literal array, no UDF
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(len(planes))
+            ],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         idx.join(F.broadcast(q), "bucket")
+        # a candidate can match several probes of one query — dedup before
+        # ranking so it occupies one rank slot
+        .dropDuplicates([query_id_col, id_col])
         .withColumn(
             "cosine",
             _dot(query_vec_col, vec_col) / (_norm(query_vec_col) * _norm(vec_col)),

@@ -5,19 +5,28 @@ otherwise-unrelated text (global Jaccard far below threshold). This pass:
 
   1. fingerprints each doc's normalized text with CONTENT-DEFINED anchored
      windows: a position i is an anchor iff the rolling hash of the g-gram
-     t[i:i+g] ≡ 0 (mod d); each anchor contributes the W-char window t[i:i+W].
-     Because the anchor decision depends only on run content, a verbatim run
-     shared at DIFFERENT offsets in two docs anchors at the SAME in-run
-     positions — fixed-stride windows would mis-align (this is the winnowing /
-     content-defined-chunking idea). A shared run of length L ≥ min_len
-     contains an eligible anchor w.p. 1-(1-1/d)^(L-W-g) ≈ 1-1e-15 at the
-     default (d=8, W=64, L=200);
+     t[i:i+g] ≡ 0 (mod d); each anchor contributes the 64-bit rolling hash of
+     the W-char window t[i:i+W]. Because the anchor decision depends only on
+     run content, a verbatim run shared at DIFFERENT offsets in two docs
+     anchors at the SAME in-run positions — fixed-stride windows would
+     mis-align (the winnowing / content-defined-chunking idea). A shared run
+     of length L ≥ min_len contains an eligible anchor w.p.
+     1-(1-1/d)^(L-W-g) for content without adversarial hash structure;
   2. groups window hashes (one shuffle), expands candidate pairs map-side
      under the same bucket ceiling as LSH (boilerplate windows are capped
      and flagged, not silently dropped);
   3. verifies each candidate pair with an exact suffix-array
      longest-common-run (functions/suffix.py) over the pair's texts inside
-     an Arrow-batched UDF — only candidate pairs pay this cost.
+     an Arrow-batched UDF — only candidate pairs pay this cost, and the
+     pages scan feeding it is semi-join-pruned to exactly the candidate
+     urls first (never shuffles corpus texts).
+
+The whole fingerprint pass is batch-vectorized: one concatenated byte buffer
+per Arrow batch, Horner rolling hashes as shifted numpy multiply-adds (int64
+views — uint64 broadcast multiply is pathologically slow), window hashes
+gathered only AT anchors, per-doc dedup via one lexsort. No per-anchor or
+per-window Python. Window hash equality can collide (64-bit) — harmless:
+collisions surface as candidate pairs the exact LCS verify rejects.
 
 Reference lineage: this is the graft of the reference's external shotdetect
 segmentation + exact per-record verification shape (ndd/shotdetect.py:58-75
@@ -34,7 +43,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from near_duplicate_detection_spark.config import NDDConfig
-from near_duplicate_detection_spark.functions.hashing import hash_str_array
 from near_duplicate_detection_spark.functions.suffix import (
     common_run_at_least,
     longest_common_run,
@@ -44,20 +52,70 @@ from near_duplicate_detection_spark.operators.lsh import _PAIRS_EXPR
 
 WINDOW_SCHEMA = "url string, win_hash bigint"
 
-
-_ROLL_B = np.uint64(1099511628211)  # FNV prime as polynomial base
+_ROLL_B = 1099511628211  # FNV prime as polynomial base
+_B_I64 = np.int64(np.uint64(_ROLL_B).astype(np.int64))
 
 
 def anchor_positions(t: str, g: int, d: int) -> np.ndarray:
-    """Content-defined anchor positions of a normalized string (vectorized)."""
-    raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    """Content-defined anchor positions of one normalized string.
+
+    Per-doc reference implementation (tests compare the batch kernel against
+    it); the hot path is window_hashes_batch."""
+    raw = np.frombuffer(t.encode("utf-8"), dtype=np.uint8).astype(np.int64)
     n = len(raw)
     if n < g:
         return np.empty(0, dtype=np.int64)
-    h = np.zeros(n - g + 1, dtype=np.uint64)
-    for j in range(g):  # g shifted vectorized adds — no per-char Python
-        h = h * _ROLL_B + raw[j : n - g + 1 + j]
-    return np.nonzero(h % np.uint64(d) == 0)[0].astype(np.int64)
+    h = np.zeros(n - g + 1, dtype=np.int64)
+    for j in range(g):  # Horner: h = Σ c_j·B^(g-1-j), int64 wraparound
+        h = h * _B_I64 + raw[j : n - g + 1 + j]
+    return np.nonzero(h.view(np.uint64) % np.uint64(d) == 0)[0].astype(np.int64)
+
+
+def window_hashes_batch(
+    texts: list[str], w: int, g: int, d: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct anchored-window hashes for a batch of normalized texts.
+
+    → (doc_idx int64[], win_hash int64[]): one row per distinct (doc, window
+    hash). Fully vectorized over the batch: Horner anchor hashes are g
+    shifted multiply-adds over the concatenated buffer; window hashes are
+    computed only AT anchor positions (w gathers over the anchor vector, not
+    w passes over the buffer); per-doc dedup is one lexsort.
+    """
+    n_docs = len(texts)
+    bufs = [t.encode("utf-8") for t in texts]
+    offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in bufs], out=offsets[1:])
+    raw = np.frombuffer(b"".join(bufs), dtype=np.uint8).astype(np.int64)
+    N = len(raw)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    if N < g:
+        return empty
+    # anchor decision: rolling hash of every g-gram (Horner, vectorized)
+    A = np.zeros(N - g + 1, dtype=np.int64)
+    for j in range(g):
+        A = A * _B_I64 + raw[j : N - g + 1 + j]
+    is_anchor = A.view(np.uint64) % np.uint64(d) == 0
+    # eligibility: window [i, i+w) must lie fully inside one doc
+    valid = np.zeros(N - g + 1, dtype=bool)
+    for di in range(n_docs):
+        lo, hi = int(offsets[di]), int(offsets[di + 1]) - w
+        if hi >= lo:
+            valid[lo : hi + 1] = True
+    anchors = np.nonzero(is_anchor & valid)[0]
+    if not len(anchors):
+        return empty
+    # window hash AT each anchor: Horner over the w bytes (w gathers)
+    acc = np.zeros(len(anchors), dtype=np.int64)
+    for j in range(w):
+        acc = acc * _B_I64 + raw[anchors + j]
+    didx = np.searchsorted(offsets[1:], anchors, side="right")
+    # distinct (doc, hash): sort once, keep first occurrences
+    order = np.lexsort((acc, didx))
+    d_s, h_s = didx[order], acc[order]
+    keep = np.ones(len(d_s), dtype=bool)
+    keep[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+    return d_s[keep], h_s[keep]
 
 
 def window_fingerprint_fn(cfg: NDDConfig, text_col: str = "text"):
@@ -68,21 +126,10 @@ def window_fingerprint_fn(cfg: NDDConfig, text_col: str = "text"):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            urls: list[str] = []
-            wins: list[str] = []
-            for url, text in zip(pdf["url"], pdf[text_col]):
-                t = normalize_text(text or "")
-                if len(t) < w:
-                    continue
-                anchors = anchor_positions(t, g, d)
-                anchors = anchors[anchors <= len(t) - w]
-                doc_wins = {t[i : i + w] for i in anchors}
-                urls.extend([url] * len(doc_wins))
-                wins.extend(doc_wins)
-            hashes = hash_str_array(wins).view(np.int64) if wins else np.empty(
-                0, dtype=np.int64
-            )
-            yield pd.DataFrame({"url": urls, "win_hash": hashes})
+            texts = [normalize_text(t or "") for t in pdf[text_col]]
+            didx, win_hash = window_hashes_batch(texts, w, g, d)
+            urls = pdf["url"].values[didx] if len(didx) else []
+            yield pd.DataFrame({"url": urls, "win_hash": win_hash})
 
     return fn
 
@@ -130,8 +177,21 @@ def substring_candidates(
 def verify_substring_pairs(
     pairs: DataFrame, pages: DataFrame, cfg: NDDConfig, text_col: str = "text"
 ) -> DataFrame:
-    """Exact suffix-array verification → (url_a, url_b, common_run bigint)."""
-    texts = pages.select("url", text_col)
+    """Exact suffix-array verification → (url_a, url_b, common_run bigint).
+
+    The pages scan is pruned to EXACTLY the candidate urls with a left-semi
+    join before any text moves (pattern of verify.py candidate_shingle_sets):
+    candidates are rare, so AQE turns both the prune and the two pair⋈text
+    joins into broadcasts — the corpus text column is never shuffled. The
+    round-1 plan joined pairs against the full pages table and shipped every
+    text through two shuffles; it was the most expensive bench leg.
+    """
+    cand_urls = (
+        pairs.select(F.col("url_a").alias("url"))
+        .union(pairs.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    texts = pages.select("url", text_col).join(cand_urls, "url", "left_semi")
     a = texts.select(F.col("url").alias("url_a"), F.col(text_col).alias("text_a"))
     b = texts.select(F.col("url").alias("url_b"), F.col(text_col).alias("text_b"))
     # Spread candidate pairs across all cores BEFORE the python LCS UDF:

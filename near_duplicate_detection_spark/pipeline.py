@@ -20,6 +20,7 @@ bucket-size ceiling. Stage 3 shuffles only the duplicate-pair edge set.
 
 from __future__ import annotations
 
+import hashlib
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,40 +61,84 @@ class NDDPipeline:
 
     # ---------- stage 0 ----------
 
+    def _bucket_expr(self):
+        return F.pmod(F.xxhash64("url"), F.lit(self.cfg.num_buckets)).cast("int")
+
+    def _input_stats(self, pages: DataFrame) -> dict[int, tuple[int, int]]:
+        """Per-bucket (rows, content checksum) of an input snapshot — ONE
+        aggregation scan. The checksum hashes (url, text), so edits, appends
+        AND deletes all shift the bucket's stats (the reference's content
+        version string per videoid, ndd/extract_images.py:166-178, as a
+        distributed aggregate)."""
+        rows = (
+            pages.select(
+                self._bucket_expr().alias("bucket"),
+                F.shiftrightunsigned(F.xxhash64("url", "text"), 32).alias("h"),
+            )
+            .groupBy("bucket")
+            .agg(F.count("*").alias("rows"), F.sum("h").alias("checksum"))
+            .collect()
+        )
+        return {int(r["bucket"]): (int(r["rows"]), int(r["checksum"])) for r in rows}
+
     def stage0_ingest(self, pages: DataFrame, resume: bool = True) -> None:
         """Materialize the input as the catalog's `pages` table, partitioned
         by url-hash bucket. Every later stage scans this table instead of
         re-evaluating the input plan, and stage 1's pending-bucket filter
         becomes parquet partition pruning. (In production `pages` IS the
-        Iceberg input table and this stage is a no-op.)"""
+        Iceberg input table and this stage is a no-op — snapshot IDs replace
+        the checksum scan.)
+
+        DATA-AWARE: a bucket is rewritten iff its input (rows, checksum)
+        differ from the last committed stats — so re-running with an
+        appended, edited, or shrunken snapshot refreshes exactly the changed
+        buckets, and a bucket whose docs all vanished is dropped (the
+        reference drops deleted videos on update, ndd/server_ndd.py:246-261).
+        """
         cfg, cat = self.cfg, self.catalog
         h = cfg.stage1_hash()
-        done = cat.completed_partitions("pages", h) if resume else set()
-        pending = sorted(set(range(cfg.num_buckets)) - done)
+        t0 = time.monotonic()
+        stats = self._input_stats(pages)
+        done = cat.latest_partition_stats("pages", h) if resume else {}
+        pending = sorted(
+            b
+            for b in range(cfg.num_buckets)
+            if done.get(b, None) != stats.get(b, (0, 0))
+        )
         if not pending:
             return
-        t0 = time.monotonic()
-        bucket = F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int")
-        with_bucket = pages.withColumn("bucket", bucket)
-        if len(pending) < cfg.num_buckets:
-            with_bucket = with_bucket.where(
-                F.col("bucket").isin([int(b) for b in pending])
+        nonempty = [b for b in pending if b in stats]
+        if nonempty:
+            with_bucket = pages.withColumn("bucket", self._bucket_expr())
+            if len(nonempty) < cfg.num_buckets:
+                with_bucket = with_bucket.where(
+                    F.col("bucket").isin([int(b) for b in nonempty])
+                )
+            # bucket-PURE partitions: without this, every upstream task writes
+            # a file into every bucket dir (tasks × buckets small files), and
+            # every downstream partitioned write inherits the explosion. One
+            # shuffle here keeps all later stage writes at one-task-one-bucket.
+            # maxRecordsPerFile splits each bucket into several files so the
+            # downstream map stages regain full read parallelism.
+            cat.write(
+                with_bucket.repartition("bucket"),
+                "pages",
+                partition_by=["bucket"],
+                max_records_per_file=2048,
             )
-        # bucket-PURE partitions: without this, every upstream task writes a
-        # file into every bucket dir (tasks × buckets small files), and every
-        # downstream partitioned write inherits the explosion. One shuffle
-        # here keeps all later stage writes at one-task-one-bucket.
-        # maxRecordsPerFile splits each bucket into several files so the
-        # downstream map stages regain full read parallelism.
-        cat.write(
-            with_bucket.repartition("bucket"),
-            "pages",
-            partition_by=["bucket"],
-            max_records_per_file=2048,
-        )
+        # vanished buckets: dynamic overwrite never touches a partition with
+        # zero input rows — drop the dir explicitly (delete handling)
+        for b in pending:
+            if b not in stats:
+                cat.drop_partition("pages", b)
         wall_ms = int((time.monotonic() - t0) * 1000)
-        counts = cat.bucket_counts("pages")
-        cat.mark_complete("pages", h, {b: counts.get(b, 0) for b in pending}, wall_ms)
+        cat.mark_complete(
+            "pages",
+            h,
+            {b: stats.get(b, (0, 0))[0] for b in pending},
+            wall_ms,
+            checksums={b: stats.get(b, (0, 0))[1] for b in pending},
+        )
 
     def pages_table(self) -> DataFrame:
         return self.catalog.read("pages")
@@ -102,11 +147,43 @@ class NDDPipeline:
 
     def stage1_signatures(self, resume: bool = True) -> None:
         """pages → signatures, partitioned by url-hash bucket with per-bucket
-        lineage (reference P1 predicate, ndd/extract_features.py:88)."""
+        lineage (reference P1 predicate, ndd/extract_features.py:88).
+
+        DATA-AWARE: a bucket is done iff its committed signature lineage
+        carries the SAME (rows, checksum) the pages table currently has for
+        that bucket — content drift (append/edit/delete) re-signs exactly
+        the drifted buckets. The pages checksum is chained into the
+        signature lineage row, mirroring the reference's .done strings that
+        embed the upstream stage's version (ndd/extract_features.py:74-88).
+        """
         cfg, cat = self.cfg, self.catalog
         h = cfg.stage1_hash()
-        done = cat.completed_partitions("signatures", h) if resume else set()
-        pending = sorted(set(range(cfg.num_buckets)) - done)
+        pages_stats = cat.latest_partition_stats("pages", h)
+        if not pages_stats:
+            # pages table provided out-of-band (no stage-0 lineage): fall
+            # back to treating every bucket as unknown → recompute all
+            pages_stats = {
+                b: (n, 0) for b, n in cat.bucket_counts("pages").items()
+            }
+        sig_stats = cat.latest_partition_stats("signatures", h) if resume else {}
+        pending = sorted(
+            b
+            for b in range(cfg.num_buckets)
+            if pages_stats.get(b, (0, 0)) != (0, 0)
+            and sig_stats.get(b) != pages_stats.get(b)
+        )
+        vanished = [
+            b
+            for b in range(cfg.num_buckets)
+            if pages_stats.get(b, (0, 0)) == (0, 0) and sig_stats.get(b, (0, 0)) != (0, 0)
+        ]
+        for b in vanished:
+            cat.drop_partition("signatures", b)
+        if vanished:
+            cat.mark_complete(
+                "signatures", h, {b: 0 for b in vanished}, 0,
+                checksums={b: 0 for b in vanished},
+            )
         if not pending:
             return
         t0 = time.monotonic()
@@ -132,7 +209,13 @@ class NDDPipeline:
         wall_ms = int((time.monotonic() - t0) * 1000)
         counts = cat.bucket_counts("signatures")
         cat.mark_complete(
-            "signatures", h, {b: counts.get(b, 0) for b in pending}, wall_ms
+            "signatures",
+            h,
+            {b: counts.get(b, 0) for b in pending},
+            wall_ms,
+            # chain the consumed pages content version (reference .done
+            # chaining, extract_features.py:74-88)
+            checksums={b: pages_stats.get(b, (0, 0))[1] for b in pending},
         )
         # P4 analog (shotdetect.py:42-55 corrupt-input check): degenerate docs
         # are kept but counted — downstream they can only form exact-dup
@@ -149,11 +232,51 @@ class NDDPipeline:
             },
         )
 
+    # ---------- runtime hash chaining (params ∥ upstream CONTENT) ----------
+    #
+    # config.py's stage hashes chain parameters only; these runtime hashes
+    # additionally fold in the signatures table's content fingerprint (per-
+    # bucket rows+checksums from lineage), so appending/editing/deleting
+    # pages invalidates stages 2/2b/3 — round 1's param-only predicate
+    # silently served stale pairs/clusters after an append.
+
+    @staticmethod
+    def _h16(s: str) -> str:
+        return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+    def stage2_run_hash(self) -> str:
+        return self._h16(
+            self.cfg.stage2_hash()
+            + "|"
+            + self.catalog.content_fingerprint("signatures")
+        )
+
+    def stage2b_run_hash(self) -> str:
+        # 2b consumes signatures (via reps) AND stage-2 pairs (anti-join of
+        # already-verified pairs) → chain both
+        return self._h16(
+            self.cfg.stage2b_hash()
+            + "|"
+            + self.catalog.content_fingerprint("signatures")
+            + "|"
+            + self.stage2_run_hash()
+        )
+
+    def stage3_run_hash(self) -> str:
+        s2b = (
+            self.stage2b_run_hash()
+            if self.catalog.exists("substring_pairs")
+            else "none"
+        )
+        return self._h16(
+            self.cfg.stage3_hash() + "|" + self.stage2_run_hash() + "|" + s2b
+        )
+
     # ---------- stage 2 ----------
 
     def stage2_pairs(self, resume: bool = True) -> None:
         cfg, cat = self.cfg, self.catalog
-        h = cfg.stage2_hash()
+        h = self.stage2_run_hash()
         if resume and cat.completed_partitions("pairs", h):
             return
         t0 = time.monotonic()
@@ -162,16 +285,19 @@ class NDDPipeline:
         # distinct content (collapses boilerplate/exact-dup bucket skew)
         exact_edges, reps = exact_groups(sigs)
         # materialize ONLY the multi-member band buckets (small) — every
-        # later action (flag count, pair expansion) derives map-side from it
-        # instead of recomputing the scan+window+groupBy subtree
+        # later consumer (flag metric, pair expansion) derives map-side from
+        # it instead of recomputing the scan+window+groupBy subtree
         buckets = band_buckets(reps, cfg).localCheckpoint()
         flagged = flagged_buckets(buckets, cfg)
-        n_flagged = flagged.count()
-        cands = pairs_from_buckets(buckets, cfg)
-        if n_flagged:
-            fallback = simhash_fallback_pairs(reps, flagged, cfg)
-            cands = cands.union(fallback).dropDuplicates(["url_a", "url_b"])
-        cands = cands.localCheckpoint()
+        # fallback unioned UNCONDITIONALLY (empty when nothing is flagged):
+        # the round-1 plan took a blocking flagged.count() between sub-jobs
+        # to decide the union — a pure serial tail. One dedup shuffle total.
+        cands = (
+            pairs_from_buckets(buckets, cfg, dedup=False)
+            .union(simhash_fallback_pairs(reps, flagged, cfg, dedup=False))
+            .dropDuplicates(["url_a", "url_b"])
+            .localCheckpoint()
+        )
         sets = candidate_shingle_sets(cands, self.pages_table(), cfg)
         verified = verify_pairs(cands, sets, cfg)
         cat.write(verified.unionByName(exact_edges), "pairs")
@@ -183,7 +309,9 @@ class NDDPipeline:
             "pairs",
             {
                 "verified_pairs": n_pairs,
-                "flagged_buckets": n_flagged,
+                # cheap: scan of the checkpointed (small) bucket table,
+                # off the critical path (after the stage commit)
+                "flagged_buckets": flagged.count(),
                 "wall_ms": wall_ms,
             },
         )
@@ -192,7 +320,7 @@ class NDDPipeline:
 
     def stage2b_substring(self, resume: bool = True) -> None:
         cfg, cat = self.cfg, self.catalog
-        h = cfg.stage2b_hash()
+        h = self.stage2b_run_hash()
         if resume and cat.completed_partitions("substring_pairs", h):
             return
         t0 = time.monotonic()
@@ -211,7 +339,6 @@ class NDDPipeline:
             )
         hits = verify_substring_pairs(cands, pages, cfg)
         cat.write(hits, "substring_pairs")
-        flagged = flagged.localCheckpoint()
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("substring_pairs")
         cat.mark_complete("substring_pairs", h, {-1: n}, wall_ms)
@@ -219,6 +346,8 @@ class NDDPipeline:
             "substring_pairs",
             {
                 "substring_pairs": n,
+                # derives from the checkpointed multi-doc window counts
+                # inside substring_candidates — cheap, after the commit
                 "flagged_window_buckets": flagged.count(),
                 "wall_ms": wall_ms,
             },
@@ -228,7 +357,7 @@ class NDDPipeline:
 
     def stage3_clusters(self, resume: bool = True) -> None:
         cfg, cat = self.cfg, self.catalog
-        h = cfg.stage3_hash()
+        h = self.stage3_run_hash()
         if resume and cat.completed_partitions("clusters", h):
             return
         t0 = time.monotonic()
@@ -242,17 +371,51 @@ class NDDPipeline:
         cat.write(clusters, "clusters")
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("clusters")
-        n_multi = (
-            cat.read("clusters")
-            .groupBy("cluster_id")
-            .count()
-            .where("count > 1")
-            .count()
-        )
         cat.mark_complete("clusters", h, {-1: n}, wall_ms)
+        # metrics nicety, off the critical path: a driver-side value_counts
+        # over the written cluster_id column (pyarrow) — no Spark job. At
+        # cluster scale this metric would be a groupBy in the stage 3 job.
+        import pyarrow.dataset as pads
+
+        ids = (
+            pads.dataset(cat.path("clusters"), format="parquet")
+            .to_table(columns=["cluster_id"])
+            .column("cluster_id")
+        )
+        n_multi = int(
+            (ids.value_counts().field("counts").to_numpy() > 1).sum()
+        )
         cat.add_metrics(
             "clusters",
             {"rows": n, "multi_doc_clusters": n_multi, "wall_ms": wall_ms},
+        )
+
+    # ---------- targeted re-index ----------
+
+    def invalidate_urls(self, urls: list[str]) -> None:
+        """Force recomputation of the buckets holding the given urls on the
+        next resume run (reference `update_index` with explicit videoids,
+        ndd/server_ndd.py:307-315). Implemented by retracting the buckets'
+        committed signature stats: a (-1, -1) lineage row can never match
+        the upstream pages stats, so the data-aware predicate re-signs
+        exactly those buckets — and the changed signature lineage flows into
+        every downstream runtime hash."""
+        if not urls:
+            return
+        cfg, cat = self.cfg, self.catalog
+        rows = (
+            self.spark.createDataFrame([(u,) for u in urls], "url string")
+            .select(self._bucket_expr().alias("bucket"))
+            .distinct()
+            .collect()
+        )
+        buckets = sorted(int(r["bucket"]) for r in rows)
+        cat.mark_complete(
+            "signatures",
+            cfg.stage1_hash(),
+            {b: -1 for b in buckets},
+            0,
+            checksums={b: -1 for b in buckets},
         )
 
     # ---------- full build ----------

@@ -56,12 +56,19 @@ def test_resume_after_stage1_kill(spark, tmp_path):
 
 def test_partial_bucket_resume(spark, tmp_path):
     """Pre-marked buckets are skipped: only pending buckets get computed
-    (the distributed anti-join of work against lineage)."""
+    (the distributed anti-join of work against lineage). The mark must carry
+    the bucket's TRUE upstream stats — the predicate is data-aware, so a
+    mark with stale stats would (correctly) not be honored."""
     base = str(tmp_path / "cat")
     pipe = NDDPipeline(spark, CFG, base)
     pipe.stage0_ingest(generate_pages(spark, N))
     h = CFG.stage1_hash()
-    pipe.catalog.mark_complete("signatures", h, {0: 0, 1: 0}, 0)
+    pstats = pipe.catalog.latest_partition_stats("pages", h)
+    pipe.catalog.mark_complete(
+        "signatures", h,
+        {0: pstats[0][0], 1: pstats[1][0]}, 0,
+        checksums={0: pstats[0][1], 1: pstats[1][1]},
+    )
     pipe.stage1_signatures()
     buckets = {
         int(d.split("=")[1])
