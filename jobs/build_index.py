@@ -6,7 +6,7 @@ Usage:
         --pages /path/to/pages_parquet --catalog /path/to/catalog \
         [--n-synthetic 100000] [--no-resume] [--no-substring] \
         [--shingle-k 5] [--num-perms 128] [--bands 32] [--rows 4] \
-        [--jaccard 0.6] [--buckets 16]
+        [--jaccard 0.6] [--buckets 64]
 
 Exactly one of --pages (existing parquet with the input_hint schema) or
 --n-synthetic (deterministic generator) selects the input. Re-running with
@@ -34,7 +34,7 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--bands", type=int, default=32)
     ap.add_argument("--rows", type=int, default=4)
     ap.add_argument("--jaccard", type=float, default=0.6)
-    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--buckets", type=int, default=64)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession

@@ -20,7 +20,7 @@ fallback rather than dropping recall silently.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from near_duplicate_detection_spark.config import NDDConfig
@@ -52,9 +52,13 @@ def exact_groups(signatures: DataFrame) -> tuple[DataFrame, DataFrame]:
     representative (linear edges, transitively equivalent for clustering),
     and run LSH/substring over representatives only.
 
-    → (exact_edges(url_a, url_b, jaccard=1.0), reps(signature rows))."""
-    w = Window.partitionBy("fp")
-    with_rep = signatures.withColumn("rep", F.min("url").over(w))
+    → (exact_edges(url_a, url_b, jaccard=1.0), reps(signature rows)).
+
+    groupBy-min + join rather than an unbounded window: a window must SORT
+    each fp partition, and a million-copy boilerplate group lands in one
+    sort partition AQE cannot split — the join path is skew-splittable."""
+    rep_map = signatures.groupBy("fp").agg(F.min("url").alias("rep"))
+    with_rep = signatures.join(rep_map, "fp")
     exact_edges = (
         with_rep.where(F.col("url") != F.col("rep"))
         .select(
@@ -113,6 +117,18 @@ def candidate_pairs(
     return pairs_from_buckets(buckets, cfg), flagged_buckets(buckets, cfg)
 
 
+def flagged_members(buckets: DataFrame, cfg: NDDConfig) -> DataFrame:
+    """Urls of over-ceiling buckets, straight from the materialized bucket
+    table — re-deriving them by re-exploding every signature's bands (the
+    round-1 shape) costs a full corpus-wide explode+shuffle even when
+    NOTHING is flagged."""
+    return (
+        buckets.where(F.col("bucket_size") > cfg.max_bucket_size)
+        .select(F.explode("urls").alias("url"))
+        .distinct()
+    )
+
+
 def simhash_fallback_pairs(
     signatures: DataFrame, flagged: DataFrame, cfg: NDDConfig,
     prefix_bits: int = 16, dedup: bool = True,
@@ -126,22 +142,32 @@ def simhash_fallback_pairs(
     pairs. Star links still pass the exact-Jaccard verify individually, so
     a weak hub link prunes correctly; the flagged metrics row records that
     the cap was applied (no silent caps).
+
+    ``flagged`` may be either flagged bucket keys (band_id, band_hash) or a
+    pre-computed member url set (a `url` column) — the pipeline passes
+    flagged_members(buckets) so the corpus-wide band explode never re-runs.
     """
-    members = (
-        explode_bands(signatures)
-        .join(flagged.select("band_id", "band_hash"), ["band_id", "band_hash"])
-        .select("url")
-        .distinct()
-    )
+    if "url" in flagged.columns:
+        members = flagged.select("url")
+    else:
+        members = (
+            explode_bands(signatures)
+            .join(
+                flagged.select("band_id", "band_hash"),
+                ["band_id", "band_hash"],
+            )
+            .select("url")
+            .distinct()
+        )
     sims = signatures.join(members, "url").select(
         "url",
         F.shiftrightunsigned(
             F.col("simhash"), 64 - prefix_bits
         ).alias("sim_prefix"),
     )
-    w = Window.partitionBy("sim_prefix")
+    hubs = sims.groupBy("sim_prefix").agg(F.min("url").alias("hub"))
     out = (
-        sims.withColumn("hub", F.min("url").over(w))
+        sims.join(hubs, "sim_prefix")  # skew-splittable (vs window sort)
         .where(F.col("url") != F.col("hub"))
         .select(
             F.least("hub", "url").alias("url_a"),

@@ -51,6 +51,7 @@ from near_duplicate_detection_spark.functions.text import normalize_text
 from near_duplicate_detection_spark.operators.lsh import _PAIRS_EXPR
 
 WINDOW_SCHEMA = "url string, win_hash bigint"
+DOC_WINDOWS_SCHEMA = "url string, win_hashes array<bigint>"
 
 _ROLL_B = 1099511628211  # FNV prime as polynomial base
 _B_I64 = np.int64(np.uint64(_ROLL_B).astype(np.int64))
@@ -119,7 +120,11 @@ def window_hashes_batch(
 
 
 def window_fingerprint_fn(cfg: NDDConfig, text_col: str = "text"):
-    """mapInPandas fn: (url, text) → (url, win_hash) rows, windows distinct per doc."""
+    """mapInPandas fn: (url, text) → (url, win_hashes array) — ONE row per
+    doc. Emitting one row per WINDOW (13M skinny rows / 100k docs) made the
+    Arrow python→JVM transfer the dominant stage cost; the per-doc array is
+    ~8× fewer bytes and 100× fewer rows, and the explode to (url, win_hash)
+    happens JVM-side in codegen."""
     w, g, d = cfg.substring_window, cfg.substring_anchor_gram, cfg.substring_anchor_mod
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -128,8 +133,10 @@ def window_fingerprint_fn(cfg: NDDConfig, text_col: str = "text"):
                 continue
             texts = [normalize_text(t or "") for t in pdf[text_col]]
             didx, win_hash = window_hashes_batch(texts, w, g, d)
-            urls = pdf["url"].values[didx] if len(didx) else []
-            yield pd.DataFrame({"url": urls, "win_hash": win_hash})
+            # didx is sorted (lexsort key) → split into per-doc arrays
+            bounds = np.searchsorted(didx, np.arange(len(pdf)))
+            arrs = np.split(win_hash, bounds[1:])
+            yield pd.DataFrame({"url": pdf["url"], "win_hashes": arrs})
 
     return fn
 
@@ -148,8 +155,19 @@ def substring_candidates(
     stage, exactly like the reference eagerly resizing all N images before
     top-k filtering (server_ndd.py:118-123) — the anti-pattern SURVEY bans.
     """
-    windows = pages.select("url", text_col).mapInPandas(
-        window_fingerprint_fn(cfg, text_col), schema=WINDOW_SCHEMA
+    # per-doc window arrays, materialized LAZILY once (≈0.9 KB/doc): both
+    # phases below consume them, and re-running the text scan + normalize +
+    # kernel per consumer was the dominant stage cost. At cluster scale this
+    # checkpoint is executor-local memory/disk blocks — proportional to the
+    # corpus but ~400× smaller than the text column; recomputing instead
+    # remains a config choice if temp space is tighter than CPU.
+    doc_windows = (
+        pages.select("url", text_col)
+        .mapInPandas(window_fingerprint_fn(cfg, text_col), DOC_WINDOWS_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    windows = doc_windows.select(
+        "url", F.explode("win_hashes").alias("win_hash")
     )
     # multi-doc window hashes are rare → materialize them once (small); the
     # flagged metric and the pruning join both derive from this checkpoint

@@ -40,6 +40,7 @@ from near_duplicate_detection_spark.operators.lsh import (
     band_buckets,
     exact_groups,
     flagged_buckets,
+    flagged_members,
     pairs_from_buckets,
     simhash_fallback_pairs,
 )
@@ -280,7 +281,11 @@ class NDDPipeline:
         if resume and cat.completed_partitions("pairs", h):
             return
         t0 = time.monotonic()
-        sigs = cat.read("signatures")
+        # column-prune BEFORE the fp join: stage 2 only ever uses url+bands
+        # (LSH) and url+simhash (fallback) — shipping the 128-perm minhash
+        # array through the exact-group shuffles would 5× the bytes for
+        # nothing (the minhash column exists for the query path / re-banding)
+        sigs = cat.read("signatures").select("url", "fp", "bands", "simhash")
         # exact-dup star edges first; LSH sees one representative per
         # distinct content (collapses boilerplate/exact-dup bucket skew)
         exact_edges, reps = exact_groups(sigs)
@@ -294,7 +299,11 @@ class NDDPipeline:
         # to decide the union — a pure serial tail. One dedup shuffle total.
         cands = (
             pairs_from_buckets(buckets, cfg, dedup=False)
-            .union(simhash_fallback_pairs(reps, flagged, cfg, dedup=False))
+            .union(
+                simhash_fallback_pairs(
+                    reps, flagged_members(buckets, cfg), cfg, dedup=False
+                )
+            )
             .dropDuplicates(["url_a", "url_b"])
             .localCheckpoint()
         )
@@ -337,6 +346,11 @@ class NDDPipeline:
                 ["url_a", "url_b"],
                 "left_anti",
             )
+        # materialize the (small) candidate set ONCE: the verify step reads
+        # it three times (url prune ×2 branches + the pair join) — without
+        # this the whole fingerprint→bucket→expand subtree re-evaluates per
+        # consumer
+        cands = cands.localCheckpoint()
         hits = verify_substring_pairs(cands, pages, cfg)
         cat.write(hits, "substring_pairs")
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -494,12 +508,16 @@ def query_top_k(
         .join(candidates, "url", "left_semi")
         .mapInPandas(shingle_sets_map_fn(cfg), SHINGLE_SET_SCHEMA)
     )
-    q_arr = F.array(*[F.lit(s).cast("long") for s in q_shingles])
-    inter = F.size(F.array_intersect(F.col("shingles"), q_arr))
-    union = F.size("shingles") + F.lit(len(q_shingles)) - inter
-    scored = cand_sets.withColumn(
-        "jaccard", inter.cast("double") / union.cast("double")
-    ).select("url", "jaccard")
+    # query shingles ride along as a one-row broadcast, not a literal array
+    # expression — a long query text would otherwise bloat the plan tree
+    qdf = spark.createDataFrame([(q_shingles,)], "q_shingles array<bigint>")
+    inter = F.size(F.array_intersect(F.col("shingles"), F.col("q_shingles")))
+    union = F.size("shingles") + F.size("q_shingles") - inter
+    scored = (
+        cand_sets.crossJoin(F.broadcast(qdf))
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .select("url", "jaccard")
+    )
     clusters = catalog.read("clusters").select("url", "cluster_id")
     from pyspark.sql import Window as W
 

@@ -894,7 +894,8 @@ def q_substring_pairs(spark, sf_dir):
         F.concat(base, F.lit(" "), run).alias("text"),
     )
     cands, _flagged = substring_candidates(pages, cfg)
-    hits = verify_substring_pairs(cands, pages, cfg)
+    # materialized once — verify consumes the candidate set three times
+    hits = verify_substring_pairs(cands.localCheckpoint(), pages, cfg)
     return hits.select("url_a", "url_b")
 
 

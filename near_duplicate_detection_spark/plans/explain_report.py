@@ -129,6 +129,24 @@ def main() -> None:
         p,
     ))
 
+    # 6. stage-2b verify: candidate-pruned text scan (round-2 fix — the
+    # round-1 plan shuffled the full corpus text column through both joins)
+    from near_duplicate_detection_spark.operators.substring import (
+        substring_candidates,
+        verify_substring_pairs,
+    )
+
+    scands, _sfl = substring_candidates(pipe.pages_table(), cfg)
+    p = _plan_str(verify_substring_pairs(scands, pipe.pages_table(), cfg))
+    check("substring verify prunes pages via semi-join", p, ["LeftSemi"])
+    sections.append((
+        "Stage 2b — substring verify (candidate-pruned)",
+        "Pages texts are pruned to the candidate-pair urls with a left-semi "
+        "join before the two pair⋈text joins; the corpus text column is "
+        "never shuffled (pattern of the stage-2 verify).",
+        p,
+    ))
+
     lines = ["# PLANS — physical-plan audit (generated by plans/explain_report.py)",
              ""]
     lines.append("| check | result |")

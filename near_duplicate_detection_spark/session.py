@@ -39,6 +39,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Input-split granularity for Arrow-UDF-heavy stages: the 128 MB
+        # default assumes JVM scan-bound work and packs this engine's ~4 MB
+        # bucket files into a handful of tasks — stage 1 ran 5 tasks on 32
+        # cores in round 1. Python-UDF stages want ~1 task per file so the
+        # signature/fingerprint compute (the dominant per-doc cost) spreads
+        # over every core; on a production cluster with 128 MB row groups
+        # the default ratio re-emerges naturally (one row group per task).
+        .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
