@@ -70,8 +70,9 @@ spark.stop()
 
 
 def run_at(base: str, cores: int) -> dict:
+    repeats = os.environ.get("NDD_SCALING_REPEATS", "3")
     out = subprocess.run(
-        [sys.executable, "-c", RUN_SNIPPET, base, str(cores)],
+        [sys.executable, "-c", RUN_SNIPPET, base, str(cores), repeats],
         capture_output=True, text=True, timeout=3600,
     )
     for line in out.stdout.splitlines():

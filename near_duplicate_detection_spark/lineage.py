@@ -204,7 +204,10 @@ class StageCatalog:
         — stored so later runs can detect content drift, not just row-count
         drift (an append+delete that keeps the count would otherwise slip
         through)."""
-        now = pd.Timestamp(int(time.time()), unit="s")
+        # microsecond resolution: second-level stamps tie when two marks land
+        # in the same second (e.g. invalidate → immediate re-sign) and the
+        # latest-stats ordering would then depend on file read order
+        now = pd.Timestamp(int(time.time() * 1_000_000), unit="us")
         cks = checksums or {}
         pdf = pd.DataFrame(
             [

@@ -32,6 +32,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # start every shuffle wide and let AQE coalesce DOWN: sizing the
+        # initial partition count to the core count makes big shuffles
+        # (e.g. the 300k-doc shingle-set verify join) sort-spill at low
+        # core counts — partition size must track DATA, not parallelism
+        .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "256")
+        # 64 MB advisory partitions coalesce a ~1 GB join down to ~16 tasks —
+        # under-using 32 cores; 16 MB keeps mid-size shuffles wide enough
+        # while still coalescing away empty/tiny partitions
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", str(16 * 1024 * 1024))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
