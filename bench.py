@@ -72,6 +72,7 @@ def main() -> None:
         "ngram_jaccard_pairs",
         "lsh_candidate_pairs",
         "near_dup_clusters",
+        "ann_ivf_topk",
     ):
         t0 = time.monotonic()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()

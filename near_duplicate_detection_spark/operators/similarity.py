@@ -138,3 +138,70 @@ def ann_topk(
         .where(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine", "rank")
     )
+
+
+def assign_to_centroids(
+    df: DataFrame, centroids: DataFrame, vec_col: str = "vec",
+    centroid_id_col: str = "centroid_id", centroid_vec_col: str = "cvec",
+    n_nearest: int = 1, out_col: str = "centroid_id",
+) -> DataFrame:
+    """Nearest-centroid assignment (the IVF coarse quantizer): the centroid
+    table is small BY CONTRACT (a coarse quantizer is O(√N) cells), so it is
+    collected once and inlined as literal arrays — assignment is then a pure
+    column expression per row: ZERO shuffle, zero window, whole-stage
+    codegen; at corpus scale this is a single map pass over the vectors.
+
+    Deterministic tie-break on (distance, centroid_id) via array_sort over
+    (d, cid) structs. ``n_nearest`` > 1 explodes each row into its n closest
+    cells (the query-side multi-probe)."""
+    cents = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    structs = []
+    for row in cents:
+        lit_vec = F.array(*[F.lit(float(x)) for x in row[centroid_vec_col]])
+        d = F.aggregate(
+            F.zip_with(F.col(vec_col), lit_vec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        structs.append(
+            F.struct(d.alias("d"), F.lit(row[centroid_id_col]).alias("cid"))
+        )
+    nearest = F.slice(F.array_sort(F.array(*structs)), 1, n_nearest)
+    out = df.withColumn("_near", F.explode(nearest))
+    return out.select(*df.columns, F.col("_near.cid").alias(out_col))
+
+
+def ivf_topk(
+    index: DataFrame, queries: DataFrame, centroids: DataFrame, k: int = 10,
+    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "vec",
+    query_id_col: str = "query_id", query_vec_col: str = "qvec",
+) -> DataFrame:
+    """IVF approximate top-k: index vectors live in their nearest centroid's
+    inverted list; each query scores only the lists of its ``n_probe``
+    nearest centroids. → (query_id, vec_id, cosine, rank).
+
+    The complement of ``ann_topk``'s sign-LSH: data-adaptive cells instead of
+    data-oblivious hyperplanes — better recall at equal candidate volume when
+    vectors cluster, at the cost of a centroid table (built once, broadcast).
+    Same scale shape: assignment is map-side, the probe join is an equi-join
+    on centroid_id (no cross join), ranking is a per-query window over the
+    candidate set only."""
+    idx = assign_to_centroids(
+        index, centroids, vec_col=vec_col, n_nearest=1, out_col="_cell"
+    )
+    q = assign_to_centroids(
+        queries, centroids, vec_col=query_vec_col, n_nearest=n_probe,
+        out_col="_cell",
+    )
+    w = W.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        idx.join(F.broadcast(q), "_cell")
+        .dropDuplicates([query_id_col, id_col])
+        .withColumn(
+            "cosine",
+            _dot(query_vec_col, vec_col) / (_norm(query_vec_col) * _norm(vec_col)),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine", "rank")
+    )

@@ -209,7 +209,13 @@ def verify_substring_pairs(
         .union(pairs.select(F.col("url_b").alias("url")))
         .distinct()
     )
-    texts = pages.select("url", text_col).join(cand_urls, "url", "left_semi")
+    # materialize the pruned texts ONCE: both pair sides (a and b) consume
+    # them, which would otherwise run the corpus scan + semi-join twice
+    texts = (
+        pages.select("url", text_col)
+        .join(cand_urls, "url", "left_semi")
+        .localCheckpoint()
+    )
     a = texts.select(F.col("url").alias("url_a"), F.col(text_col).alias("text_a"))
     b = texts.select(F.col("url").alias("url_b"), F.col(text_col).alias("text_b"))
     # Spread candidate pairs across all cores BEFORE the python LCS UDF:

@@ -38,6 +38,12 @@ def candidate_shingle_sets(
         .distinct()
     )
     docs = pages.select("url", text_col).join(member_urls, "url", "left_semi")
+    # spread the Arrow pass over every core: AQE coalesces the semi-join
+    # output by BYTE size (16 MB advisory → ~17 tasks for 139k candidate
+    # docs), blind to the downstream per-doc Python cost — at 32 cores that
+    # left half the cluster idle. 3 waves per core keeps the tail short.
+    par = pages.sparkSession.sparkContext.defaultParallelism * 3
+    docs = docs.repartition(par)
     return docs.mapInPandas(shingle_sets_map_fn(cfg, text_col), SHINGLE_SET_SCHEMA)
 
 

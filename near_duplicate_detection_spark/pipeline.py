@@ -289,6 +289,12 @@ class NDDPipeline:
         # exact-dup star edges first; LSH sees one representative per
         # distinct content (collapses boilerplate/exact-dup bucket skew)
         exact_edges, reps = exact_groups(sigs)
+        # materialize the star outputs ONCE: three consumers (band bucket
+        # join, simhash fallback, final union write) would otherwise re-run
+        # the signature scan + exact-group shuffle per consumer — measured
+        # at ~2× the whole stage's real work at 768k docs
+        exact_edges = exact_edges.localCheckpoint()
+        reps = reps.localCheckpoint()
         # materialize ONLY the multi-member band buckets (small) — every
         # later consumer (flag metric, pair expansion) derives map-side from
         # it instead of recomputing the scan+window+groupBy subtree
@@ -307,7 +313,11 @@ class NDDPipeline:
             .dropDuplicates(["url_a", "url_b"])
             .localCheckpoint()
         )
-        sets = candidate_shingle_sets(cands, self.pages_table(), cfg)
+        # materialize the shingle sets: verify joins them TWICE (url_a and
+        # url_b sides), which would run the Arrow recompute pass twice
+        sets = candidate_shingle_sets(
+            cands, self.pages_table(), cfg
+        ).localCheckpoint()
         verified = verify_pairs(cands, sets, cfg)
         cat.write(verified.unionByName(exact_edges), "pairs")
         cat.write(reps.select("url"), "reps")

@@ -623,22 +623,47 @@ def _doc_signatures(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    """U1 (extract_features.py:26-32): per-record signature extraction —
-    rows-only check (hash family not expressible in ANSI SQL)."""
+    """U1 (extract_features.py:26-32): per-record signature extraction.
+
+    The hash values themselves are family-bound (seeded permutations have no
+    ANSI-SQL equivalent — their value gates are the brute-force oracles in
+    tests/test_signatures.py), so the driver-checkable projection is the
+    signature SHAPE contract the UDF must honor per row: engine-tokenizer
+    token count, signature width == num_perms, band count == num_bands.
+    simhash/fp values are exercised by simhash_hamming_topk/substring_pairs."""
     _, sigs = _doc_signatures(spark, sf_dir)
     return sigs.select(
         F.col("url").cast("bigint").alias("doc_id"),
         "n_tokens",
         F.size("minhash").alias("sig_len"),
-        "simhash",
-        "fp",
         F.size("bands").alias("n_bands"),
     )
 
 
+def _sql_minhash_signatures() -> str:
+    from near_duplicate_detection_spark.config import NDDConfig
+
+    cfg = NDDConfig(shingle_k=3)
+    return f"""
+SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+       {cfg.num_perms} AS sig_len, {cfg.lsh_bands} AS n_bands
+FROM documents
+"""
+
+
+SQL_MINHASH_SIGNATURES = _sql_minhash_signatures()
+
+
 def q_lsh_candidate_pairs(spark, sf_dir):
     """J3 (server_ndd.py:104-112 re-expressed): LSH band equi-join candidates
-    + exact-Jaccard verify at 0.2 over documents — rows-only check."""
+    + exact-Jaccard verify at 0.2 over documents.
+
+    Oracle-checkable because verification is EXACT set Jaccard and, on this
+    data, every true pair sits at J ≥ 0.9 — far above the 32-band/4-row
+    recall cliff at 0.2 — so the LSH-surfaced verified set equals the
+    all-pairs J ≥ 0.2 set a SQL engine can compute directly. Pairs are
+    re-canonicalized numerically (the engine canonicalizes by url STRING
+    order, which differs from numeric doc_id order)."""
     from near_duplicate_detection_spark.config import NDDConfig
     from near_duplicate_detection_spark.operators.lsh import candidate_pairs
     from near_duplicate_detection_spark.operators.verify import (
@@ -654,11 +679,34 @@ def q_lsh_candidate_pairs(spark, sf_dir):
         .select(F.col("doc_id").cast("string").alias("url"), "text")
     )
     sets = candidate_shingle_sets(pairs, docs, cfg)
+    va = F.col("url_a").cast("bigint")
+    vb = F.col("url_b").cast("bigint")
     return verify_pairs(pairs, sets, cfg).select(
-        F.col("url_a").cast("bigint").alias("doc_a"),
-        F.col("url_b").cast("bigint").alias("doc_b"),
+        F.least(va, vb).alias("doc_a"),
+        F.greatest(va, vb).alias("doc_b"),
         F.round("jaccard", 6).alias("jaccard"),
     )
+
+
+SQL_LSH_CANDIDATE_PAIRS = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                     i -> array_to_string(toks[i:i+2], ' ')))
+         END AS sh
+  FROM d)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.sh, b.sh))
+             / CAST(len(a.sh) + len(b.sh)
+                    - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.sh, b.sh))
+      / CAST(len(a.sh) + len(b.sh)
+             - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.2
+"""
 
 
 def q_near_dup_clusters(spark, sf_dir):
@@ -748,8 +796,12 @@ def q_simhash_hamming_topk(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Sign-LSH bucketed approximate nearest neighbors (scale path of J3) —
-    rows-only (random-hyperplane family not ANSI-SQL-expressible)."""
+    """Sign-LSH bucketed approximate nearest neighbors (scale path of J3).
+
+    Oracle-checkable despite the random-hyperplane family: the plane matrix
+    is seeded and tiny (8×64), so the oracle SQL inlines it as literals and
+    replays the exact probe semantics (own bucket + every one-bit flip =
+    Hamming ≤ 1 on the bucket codes)."""
     from near_duplicate_detection_spark.operators.similarity import (
         ann_topk,
         hyperplanes,
@@ -766,6 +818,108 @@ def q_ann_lsh_topk(spark, sf_dir):
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
+
+
+def _sql_ann_lsh_topk() -> str:
+    """Replays q_ann_lsh_topk in DuckDB: the seeded 8×64 plane matrix is
+    inlined as double literals (repr round-trips exactly, and both engines
+    fold the dot product left-to-right over the same values), bucket code =
+    packed sign bits, candidates = bucket pairs within Hamming distance 1
+    (== the engine's own-bucket + one-bit-flip probe set)."""
+    from near_duplicate_detection_spark.operators.similarity import hyperplanes
+
+    planes = hyperplanes(dim=64, n_planes=8)
+    lits = [
+        "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        for p in planes
+    ]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(vec, {lit}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, lit in enumerate(lits)
+    )
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+b AS (
+  SELECT vec_id, vec, {bucket} AS bucket FROM e),
+q AS (
+  SELECT vec_id AS query_id, vec AS qvec, bucket AS qbucket
+  FROM b WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, b.vec_id,
+         list_dot_product(q.qvec, b.vec)
+         / (sqrt(list_dot_product(q.qvec, q.qvec))
+            * sqrt(list_dot_product(b.vec, b.vec))) AS cosine
+  FROM b JOIN q ON bit_count(xor(b.bucket, q.qbucket)) <= 1),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors (the data-adaptive scale path,
+    complementing sign-LSH): coarse cells from a deterministic subset of the
+    table itself (vec_id % 97 — so the oracle needs no literals), map-side
+    literal-centroid assignment, equi-join probe of the 2 nearest cells."""
+    from near_duplicate_detection_spark.operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    cents = e.where(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    out = ivf_topk(e, q, cents, k=5, n_probe=2)
+    return out.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
+    )
+
+
+# replay of q_ann_ivf_topk: list_distance is monotone in the engine's
+# squared-L2 fold, so the (distance, centroid_id) argmin agrees
+SQL_ANN_IVF_TOPK = """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+c AS (
+  SELECT vec_id AS cid, vec AS cvec FROM e WHERE vec_id % 97 = 0),
+ia AS (
+  SELECT e.vec_id, e.vec, c.cid,
+         row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_distance(e.vec, c.cvec), c.cid) AS rk
+  FROM e CROSS JOIN c),
+idx AS (SELECT vec_id, vec, cid FROM ia WHERE rk = 1),
+q AS (SELECT vec_id AS query_id, vec AS qvec, cid
+      FROM ia WHERE vec_id < 5 AND rk <= 2),
+cand AS (
+  SELECT DISTINCT q.query_id, i.vec_id
+  FROM idx i JOIN q ON i.cid = q.cid),
+scored AS (
+  SELECT cd.query_id, cd.vec_id,
+         list_dot_product(eq.vec, ei.vec)
+         / (sqrt(list_dot_product(eq.vec, eq.vec))
+            * sqrt(list_dot_product(ei.vec, ei.vec))) AS cosine
+  FROM cand cd
+  JOIN e ei ON cd.vec_id = ei.vec_id
+  JOIN e eq ON cd.query_id = eq.vec_id),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, round(cosine, 6) AS cosine, rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_quality_features_full(spark, sf_dir):
@@ -941,6 +1095,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "near_dup_clusters": q_near_dup_clusters,
     "simhash_hamming_topk": q_simhash_hamming_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "quality_features_full": q_quality_features_full,
     "multimodal_frame_features": q_multimodal_frame_features,
     "substring_pairs": q_substring_pairs,
@@ -974,9 +1129,12 @@ ORACLES: dict[str, str] = {
     "quality_features_full": SQL_QUALITY_FEATURES_FULL,
     "multimodal_frame_features": SQL_MULTIMODAL_FRAME_FEATURES,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
-    # minhash_signatures / lsh_candidate_pairs / simhash_hamming_topk /
-    # ann_lsh_topk: genuinely hash-family-bound (seeded MinHash permutations,
-    # band mixing, SimHash bit votes, random hyperplanes have no ANSI-SQL
-    # equivalent) → rows-only driver check; their correctness gates are the
-    # brute-force oracles in tests/ (test_signatures, test_similarity).
+    "minhash_signatures": SQL_MINHASH_SIGNATURES,
+    "lsh_candidate_pairs": SQL_LSH_CANDIDATE_PAIRS,
+    "ann_lsh_topk": SQL_ANN_LSH_TOPK,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    # simhash_hamming_topk: genuinely hash-family-bound (the 64-bit SimHash
+    # bit votes ride on the seeded xxhash64 token family, which no ANSI-SQL
+    # engine reproduces) → rows-only driver check; its value gates are the
+    # brute-force oracles in tests/test_signatures.py.
 }

@@ -9,8 +9,10 @@ from pyspark.sql import functions as F
 
 from near_duplicate_detection_spark.operators.similarity import (
     ann_topk,
+    assign_to_centroids,
     brute_force_topk,
     hyperplanes,
+    ivf_topk,
     with_bucket_code,
 )
 
@@ -117,3 +119,38 @@ def test_multiprobe_recovers_single_probe_misses(spark):
     r0, r1 = recall(0), recall(1)
     assert r1 >= 0.9, f"multi-probe recall {r1}"
     assert r1 > r0, f"multi-probe ({r1}) must beat single-probe ({r0})"
+
+
+def _centroids(vectors):
+    # deterministic coarse cells: every 5th base vector
+    return vectors.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("centroid_id"), F.col("vec").alias("cvec")
+    )
+
+
+def test_ivf_assignment_matches_numpy_argmin(spark, vectors):
+    cents = _centroids(vectors).toPandas().sort_values("centroid_id")
+    cmat = np.array(list(cents.cvec))
+    got = assign_to_centroids(vectors, _centroids(vectors)).toPandas()
+    vp = got.sort_values("vec_id")
+    for vid, vec, cid in zip(vp.vec_id, vp.vec, vp.centroid_id):
+        d = ((cmat - np.array(vec)) ** 2).sum(axis=1)
+        # ties broken by centroid_id ascending — argmin on (d, cid)
+        expect = min(zip(d, cents.centroid_id.values))[1]
+        assert cid == expect, (vid, cid, expect)
+
+
+def test_ivf_finds_planted_twin(spark, vectors):
+    """IVF recall gate vs brute force: the twin is a 0.01-σ perturbation, so
+    it lands in the same coarse cell; n_probe=2 covers query-side boundary
+    cases."""
+    res = ivf_topk(
+        vectors, _queries(vectors), _centroids(vectors), k=3, n_probe=2
+    ).toPandas()
+    hit = sum(int((qid + 1) in set(grp.vec_id))
+              for qid, grp in res.groupby("query_id"))
+    assert hit >= 4, f"IVF recall too low: {hit}/5"
+    for _, grp in res.groupby("query_id"):
+        assert list(grp.sort_values("rank")["rank"]) == list(
+            range(1, len(grp) + 1)
+        )
