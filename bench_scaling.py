@@ -118,8 +118,14 @@ def kernel_scaling(lo: int, hi: int) -> dict:
 
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 120_000
-    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    # default N vs 4N pair = 4 vs 16 cores: at 32 threads the microVM's
+    # shared guest-memory fault path and host CPU supply saturate, so an
+    # 8v32 run measures the host more than the engine (stage-1's non-kernel
+    # overhead: ~3 s at 8 cores vs ~22 s at 32 for identical work). 4v16
+    # keeps the high leg inside the host's linear region; pass explicit
+    # args for other pairs.
+    lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
     work = "/tmp/ndd_scaling"
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
