@@ -66,6 +66,105 @@ def incremental_signatures(
     )
 
 
+def streaming_candidate_pairs(
+    spark: SparkSession,
+    cfg: NDDConfig,
+    pages_dir: str,
+    signatures_path: str,
+):
+    """Stream-static LSH probe: continuously-arriving pages are signed with
+    the SAME signature UDF as the batch path, band-exploded, and equi-joined
+    against the band index derived from the built ``signatures`` table — the
+    streaming analog of the reference's request-driven similarity probe
+    (ndd/server_ndd.py:271-306), at crawl granularity instead of per-request.
+
+    Stream-static joins need no state for the static side (Spark re-plans it
+    per micro-batch, picking broadcast when the index fits); the stream side
+    carries only the new docs' bands. Output: (url_new, url_indexed) LSH
+    candidates — acceptance stays with the batch exact-Jaccard verify, which
+    recomputes shingle sets for candidates only (the engine never stores
+    corpus-wide shingle sets; see operators/verify.py).
+
+    Returns a streaming DataFrame for the caller to sink.
+    """
+    index = (
+        spark.read.parquet(signatures_path)
+        .select(
+            F.col("url").alias("url_indexed"),
+            F.posexplode("bands").alias("band_idx", "band_hash"),
+        )
+    )
+    stream = (
+        spark.readStream.schema(PAGES_STRUCT)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(pages_dir)
+        .select("url", "text")
+    )
+    probe = (
+        stream.mapInPandas(signature_map_fn(cfg), schema=SIGNATURE_SCHEMA)
+        .select(
+            F.col("url").alias("url_new"),
+            F.posexplode("bands").alias("band_idx", "band_hash"),
+        )
+    )
+    return (
+        probe.join(index, ["band_idx", "band_hash"])
+        .where(F.col("url_new") != F.col("url_indexed"))
+        # several bands of one pair collide → one candidate row; streaming
+        # dropDuplicates keeps per-pair state (bounded by the micro-batch's
+        # candidate volume; add a watermark on an event-time column for
+        # unbounded runs)
+        .dropDuplicates(["url_new", "url_indexed"])
+        .select("url_new", "url_indexed")
+    )
+
+
+RECRAWL_OUT = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("fp", T.LongType()),
+    ]
+)
+RECRAWL_STATE = T.StructType([T.StructField("fp", T.LongType())])
+
+
+def recrawl_suppressor(stream_pages):
+    """Custom stateful streaming operator (applyInPandasWithState): suppress
+    re-crawls whose content is unchanged. State per url = last content
+    fingerprint; a row is emitted only when the fingerprint is new or
+    changed — the streaming version of the reference's `.done`
+    version-equality skip (ndd/extract_features.py:88), keyed by url instead
+    of by job.
+
+    stream_pages: streaming DataFrame with (url, text). Returns a streaming
+    DataFrame (url, fp) of docs that need (re-)processing.
+    """
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        url = key[0]
+        last = state.get[0] if state.exists else None
+        out_fp = None
+        for pdf in pdfs:
+            for fp in pdf["fp"]:
+                if fp != last:
+                    out_fp = last = int(fp)
+        if out_fp is not None:
+            state.update((last,))
+            yield pd.DataFrame({"url": [url], "fp": [out_fp]})
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    withfp = stream_pages.select("url", F.xxhash64("text").alias("fp"))
+    return withfp.groupBy("url").applyInPandasWithState(
+        fn,
+        outputStructType=RECRAWL_OUT,
+        stateStructType=RECRAWL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_ingest_stats(spark: SparkSession, pages_dir: str):
     """Streaming windowed aggregation with watermark (late-data handling):
     pages per (1-minute warc_ts window, lang) — the crawl-monitoring rollup.
