@@ -775,17 +775,46 @@ JOIN (SELECT cluster_id, count(*) AS cluster_size
 """
 
 
+_SIMHASH_BITS = 16
+
+
 def q_simhash_hamming_topk(spark, sf_dir):
-    """SimHash nearest neighbors of doc 0 by hamming distance — rows-only."""
-    _, sigs = _doc_signatures(spark, sf_dir)
-    probe = sigs.where(F.col("url") == "0").select(
+    """SimHash + Hamming-distance top-k (the engine's fallback metric for
+    flagged LSH buckets) as a pure Spark plan over an md5-derived token bit
+    family: bit i of a token = bit i of its first 4 md5 hex digits, simhash
+    bit i = majority vote over the token stream. Both engines compute md5
+    over utf-8 identically, so the full simhash VALUE is oracle-checked —
+    the engine's production 64-bit xxhash-family simhash keeps its
+    brute-force bit-vote gates in tests/test_signatures.py."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    ex = d.select(
+        "doc_id", F.size(toks).alias("n"), F.explode(toks).alias("tok")
+    )
+    mask = F.conv(
+        F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10
+    ).cast("long")
+    counts = [
+        F.sum(F.shiftright(mask, i).bitwiseAND(F.lit(1))).alias(f"c{i}")
+        for i in range(_SIMHASH_BITS)
+    ]
+    per = ex.groupBy("doc_id", "n").agg(*counts)
+    sim = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(
+            F.col(f"c{i}") * 2 > F.col("n"), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    sims = per.select("doc_id", sim.cast("long").alias("simhash"))
+    probe = sims.where(F.col("doc_id") == 0).select(
         F.col("simhash").alias("probe_hash")
     )
     return (
-        sigs.crossJoin(F.broadcast(probe))
-        .where(F.col("url") != "0")
+        sims.crossJoin(F.broadcast(probe))
+        .where(F.col("doc_id") != 0)
         .select(
-            F.col("url").cast("bigint").alias("doc_id"),
+            "doc_id",
+            "simhash",
             F.bit_count(
                 F.col("simhash").bitwiseXOR(F.col("probe_hash"))
             ).alias("hamming"),
@@ -793,6 +822,35 @@ def q_simhash_hamming_topk(spark, sf_dir):
         .orderBy("hamming", "doc_id")
         .limit(10)
     )
+
+
+def _sql_simhash_hamming_topk() -> str:
+    sums = ", ".join(
+        f"sum((mask >> {i}) & 1) AS c{i}" for i in range(_SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN c{i} * 2 > n THEN {1 << i} ELSE 0 END)"
+        for i in range(_SIMHASH_BITS)
+    )
+    return f"""
+WITH ex AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+m AS (
+  SELECT doc_id, n, ('0x' || substr(md5(tok), 1, 4))::BIGINT AS mask FROM ex),
+c AS (
+  SELECT doc_id, n, {sums} FROM m GROUP BY doc_id, n),
+s AS (
+  SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM c),
+p AS (SELECT simhash AS ph FROM s WHERE doc_id = 0)
+SELECT s.doc_id, s.simhash, bit_count(xor(s.simhash, p.ph)) AS hamming
+FROM s, p WHERE s.doc_id <> 0
+ORDER BY hamming, doc_id LIMIT 10
+"""
+
+
+SQL_SIMHASH_HAMMING_TOPK = _sql_simhash_hamming_topk()
 
 
 def q_ann_lsh_topk(spark, sf_dir):
@@ -1133,8 +1191,5 @@ ORACLES: dict[str, str] = {
     "lsh_candidate_pairs": SQL_LSH_CANDIDATE_PAIRS,
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
-    # simhash_hamming_topk: genuinely hash-family-bound (the 64-bit SimHash
-    # bit votes ride on the seeded xxhash64 token family, which no ANSI-SQL
-    # engine reproduces) → rows-only driver check; its value gates are the
-    # brute-force oracles in tests/test_signatures.py.
+    "simhash_hamming_topk": SQL_SIMHASH_HAMMING_TOPK,
 }
