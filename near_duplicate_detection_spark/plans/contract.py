@@ -185,6 +185,37 @@ SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
 """
 
 
+def q_token_budget(spark, sf_dir):
+    """Training-budget token estimate per doc: BPE-ish subword segmentation
+    (alpha runs / digit runs / single punctuation — the GPT-2 pre-tokenizer
+    shape) plus the chars/4 heuristic; est_tokens = max of the two (a
+    subword can't be shorter than a BPE token, chars/4 bounds long-run
+    text). Pure codegen — regexp_extract_all + integer arithmetic."""
+    d = _t(spark, sf_dir, "documents")
+    subs = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+    n_sub = F.size(subs).cast("long")
+    n_chars = F.length("text").cast("long")
+    chars4 = F.floor((n_chars + 3) / 4).cast("long")
+    return d.select(
+        "doc_id",
+        n_sub.alias("n_subwords"),
+        n_chars.alias("n_chars"),
+        F.greatest(n_sub, chars4).alias("est_tokens"),
+    )
+
+
+SQL_TOKEN_BUDGET = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords,
+       length(text) AS n_chars,
+       greatest(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')),
+                (length(text) + 3) // 4) AS est_tokens
+FROM documents
+"""
+
+
 def q_quality_score(spark, sf_dir):
     """Training-pipeline quality scoring: length + stopword-ratio features."""
     d = _t(spark, sf_dir, "documents")
@@ -1131,6 +1162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "broadcast_lookup_coalesce": q_broadcast_lookup_coalesce,
     "pair_dedup_canonical": q_pair_dedup_canonical,
     "token_count": q_token_count,
+    "token_budget": q_token_budget,
     "quality_score": q_quality_score,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_knn_bruteforce": q_embedding_knn_bruteforce,
@@ -1166,6 +1198,7 @@ ORACLES: dict[str, str] = {
     "broadcast_lookup_coalesce": SQL_BROADCAST_LOOKUP_COALESCE,
     "pair_dedup_canonical": SQL_PAIR_DEDUP_CANONICAL,
     "token_count": SQL_TOKEN_COUNT,
+    "token_budget": SQL_TOKEN_BUDGET,
     "quality_score": SQL_QUALITY_SCORE,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "embedding_knn_bruteforce": SQL_EMBEDDING_KNN_BRUTEFORCE,
