@@ -325,6 +325,93 @@ SELECT query_id, vec_id, cosine, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_embedding_cosine_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (the dedup-family member next to
+    exact/MinHash/SimHash/Jaccard): all pairs with cosine ≥ τ — the exact
+    verification semantics of the reference's distance scan
+    (server_ndd.py:104-112) recast as a dedup predicate. This is the
+    verify/baseline path; the scale path for the same predicate is the
+    bucketed `ann_lsh_topk`/`ann_ivf_topk` joins (candidates from LSH/IVF,
+    then this exact cosine only on candidates)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(F.col(c), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", F.round(dot / (norm("va") * norm("vb")), 6))
+        .where(F.col("cosine") >= 0.4)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+SQL_EMBEDDING_COSINE_DUP_PAIRS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+scored AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_dot_product(a.vec, b.vec)
+               / (sqrt(list_dot_product(a.vec, a.vec))
+                  * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cosine
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= 0.4
+"""
+
+
+_WINNOW_K = 8  # char-gram width
+_WINNOW_W = 4  # winnowing window (hashes per window)
+
+
+def q_doc_fingerprint_winnow(spark, sf_dir):
+    """Document fingerprinting by winnowing (Schleimer et al., MOSS; the
+    rolling-hash fingerprint family behind the engine's stage-2b anchors,
+    operators/substring.py): char k-gram hashes, min per sliding window of w,
+    distinct per doc. Pure higher-order column expressions — no UDF, no
+    shuffle until the final explode; the md5-derived 32-bit hash family is
+    computed identically by Spark (conv) and DuckDB (0x-cast) so the full
+    fingerprint sets are value-checked."""
+    k, w = _WINNOW_K, _WINNOW_W
+    d = _t(spark, sf_dir, "documents").where(F.length("text") >= k + w - 1)
+    grams = F.expr(
+        f"transform(sequence(1, length(text)-{k}+1),"
+        f" i -> cast(conv(substring(md5(substring(text, i, {k})), 1, 8), 16, 10)"
+        " as bigint))"
+    )
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, size(hashes)-{w}+1),"
+        f" j -> array_min(slice(hashes, j, {w}))))"
+    )
+    return (
+        d.select("doc_id", grams.alias("hashes"))
+        .select("doc_id", F.explode(fps).alias("fp"))
+    )
+
+
+SQL_DOC_FINGERPRINT_WINNOW = f"""
+WITH g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(text)-{_WINNOW_K}+1),
+             i -> ('0x' || substr(md5(substr(text, i, {_WINNOW_K})), 1, 8))::BIGINT
+         ) AS hashes
+  FROM documents WHERE len(text) >= {_WINNOW_K + _WINNOW_W - 1}),
+w AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+             generate_series(1, len(hashes)-{_WINNOW_W}+1),
+             j -> list_min(hashes[j:j+{_WINNOW_W - 1}]))) AS fps
+  FROM g)
+SELECT doc_id, unnest(fps) AS fp FROM w
+"""
+
+
 def q_ms_to_hms(spark, sf_dir):
     """F3 (server_ndd.py:149-150): ms → H:MM:SS display formatting."""
     ev = _t(spark, sf_dir, "events")
@@ -1166,6 +1253,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_score": q_quality_score,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_knn_bruteforce": q_embedding_knn_bruteforce,
+    "embedding_cosine_dup_pairs": q_embedding_cosine_dup_pairs,
+    "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
     "ms_to_hms": q_ms_to_hms,
     "json_extract": q_json_extract,
     "base64_encode": q_base64_encode,
@@ -1202,6 +1291,8 @@ ORACLES: dict[str, str] = {
     "quality_score": SQL_QUALITY_SCORE,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "embedding_knn_bruteforce": SQL_EMBEDDING_KNN_BRUTEFORCE,
+    "embedding_cosine_dup_pairs": SQL_EMBEDDING_COSINE_DUP_PAIRS,
+    "doc_fingerprint_winnow": SQL_DOC_FINGERPRINT_WINNOW,
     "ms_to_hms": SQL_MS_TO_HMS,
     "json_extract": SQL_JSON_EXTRACT,
     "base64_encode": SQL_BASE64_ENCODE,
