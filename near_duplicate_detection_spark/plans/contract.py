@@ -412,6 +412,29 @@ SELECT doc_id, unnest(fps) AS fp FROM w
 """
 
 
+def q_salted_distinct_tokens(spark, sf_dir):
+    """Skew-safe exact per-source distinct-token count via value-salted
+    two-phase aggregation (operators/skew.py): phase 1 groups by
+    (source, pmod(xxhash64(token), 64)) so a hot domain's distinct-state
+    spreads over 64 reducers, phase 2 sums the disjoint partials. Result is
+    provably identical to the unsalted plan — which is exactly what the
+    oracle (a plain COUNT(DISTINCT)) checks."""
+    from near_duplicate_detection_spark.operators.skew import salted_count_distinct
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+    return salted_count_distinct(
+        toks, ["source"], "tok", alias="distinct_tokens", n_salt=64
+    )
+
+
+SQL_SALTED_DISTINCT_TOKENS = """
+SELECT source, count(DISTINCT tok) AS distinct_tokens
+FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+GROUP BY source
+"""
+
+
 def q_ms_to_hms(spark, sf_dir):
     """F3 (server_ndd.py:149-150): ms → H:MM:SS display formatting."""
     ev = _t(spark, sf_dir, "events")
@@ -1255,6 +1278,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_knn_bruteforce": q_embedding_knn_bruteforce,
     "embedding_cosine_dup_pairs": q_embedding_cosine_dup_pairs,
     "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
+    "salted_distinct_tokens": q_salted_distinct_tokens,
     "ms_to_hms": q_ms_to_hms,
     "json_extract": q_json_extract,
     "base64_encode": q_base64_encode,
@@ -1293,6 +1317,7 @@ ORACLES: dict[str, str] = {
     "embedding_knn_bruteforce": SQL_EMBEDDING_KNN_BRUTEFORCE,
     "embedding_cosine_dup_pairs": SQL_EMBEDDING_COSINE_DUP_PAIRS,
     "doc_fingerprint_winnow": SQL_DOC_FINGERPRINT_WINNOW,
+    "salted_distinct_tokens": SQL_SALTED_DISTINCT_TOKENS,
     "ms_to_hms": SQL_MS_TO_HMS,
     "json_extract": SQL_JSON_EXTRACT,
     "base64_encode": SQL_BASE64_ENCODE,
