@@ -57,6 +57,12 @@ def get_spark(
         # the default ratio re-emerges naturally (one row group per task).
         .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # bucketed stage tables (sources/bucketed.py) need a catalog home;
+        # keep it off the repo tree
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ndd_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
