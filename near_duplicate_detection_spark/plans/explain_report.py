@@ -166,6 +166,74 @@ def main() -> None:
         prune + "\n--- final verify plan (reads checkpointed texts) ---\n" + p,
     ))
 
+    # 7. salted distinct aggregation: the salt reaches the phase-1 grouping
+    from near_duplicate_detection_spark.plans.contract import (
+        q_doc_fingerprint_winnow,
+        q_salted_distinct_tokens,
+    )
+
+    p = _plan_str(q_salted_distinct_tokens(spark, "/root/testdata/sf0.001"))
+    check("salted distinct-count groups phase 1 on the value salt", p,
+          ["pmod(xxhash64(tok"])
+    sections.append((
+        "Skew — value-salted exact count-distinct",
+        "Phase-1 HashAggregate keys include pmod(xxhash64(token), 64): a hot "
+        "source's distinct-state spreads over 64 reducers; phase 2 sums the "
+        "disjoint partials. Exact result (oracle-checked), skew-safe plan.",
+        p,
+    ))
+
+    # 8. winnowing fingerprints: pure column expressions, no Python boundary
+    p = _plan_str(q_doc_fingerprint_winnow(spark, "/root/testdata/sf0.001"))
+    check("winnow fingerprints run JVM-side (no Python eval)", p,
+          ["Generate"], ["ArrowEvalPython", "BatchEvalPython"])
+    sections.append((
+        "Winnowing document fingerprints",
+        "k-gram hashing + window-min + distinct are higher-order column "
+        "expressions (transform/slice/array_min) evaluated in the JVM; the "
+        "only row-count change is the final explode (Generate). No pandas "
+        "boundary, no shuffle before the explode.",
+        p,
+    ))
+
+    # 9. bucketed stage tables: co-located join with zero Exchange
+    from near_duplicate_detection_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    write_bucketed(
+        sigs.select("url", "simhash"), "audit_sigs", "url", n_buckets=8
+    )
+    write_bucketed(
+        pipe.catalog.read("clusters").select("url", "cluster_id"),
+        "audit_clusters", "url", n_buckets=8,
+    )
+    p = _plan_str(colocated_join(spark, "audit_sigs", "audit_clusters", "url"))
+    check("bucketed stage-table join has no Exchange", p,
+          ["Bucketed: true"], ["Exchange"])
+    spark.sql("DROP TABLE IF EXISTS audit_sigs")
+    spark.sql("DROP TABLE IF EXISTS audit_clusters")
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+    sections.append((
+        "Bucketed stage tables — co-located join",
+        "signatures ⋈ clusters on url with both sides bucketBy(8, url): "
+        "SortMergeJoin directly over bucketed scans, zero Exchange on either "
+        "side. At 100 TB this is the Iceberg bucket(N, url) layout for every "
+        "url-keyed cross-stage join.",
+        p,
+    ))
+
     lines = ["# PLANS — physical-plan audit (generated by plans/explain_report.py)",
              ""]
     lines.append("| check | result |")
