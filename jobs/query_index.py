@@ -3,6 +3,12 @@
 Usage:
     spark-submit --py-files ndd.zip jobs/query_index.py \
         --catalog /path/to/catalog --text "query text ..." [--k 30]
+    spark-submit --py-files ndd.zip jobs/query_index.py \
+        --catalog /path/to/catalog --queries-tsv queries.tsv [--k 30]
+
+--queries-tsv resolves a whole table of queries (TSV: query_id<TAB>text)
+in ONE Spark plan via query_top_k_batch — the batch path the reference's
+per-request server cannot express.
 
 Engine equivalent of the reference's similarity query endpoint
 (ndd/server_ndd.py:271-306), minus the Flask wrapper: signature probe →
@@ -19,7 +25,9 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--catalog", required=True)
-    ap.add_argument("--text", required=True)
+    g = ap.add_mutually_exclusive_group(required=True)
+    g.add_argument("--text")
+    g.add_argument("--queries-tsv")
     ap.add_argument("--k", type=int, default=30)  # W4 default (client_flask.py:123)
     args = ap.parse_args(argv)
 
@@ -27,14 +35,24 @@ def main(argv: list[str] | None = None) -> int:
 
     from near_duplicate_detection_spark.config import NDDConfig
     from near_duplicate_detection_spark.lineage import StageCatalog
-    from near_duplicate_detection_spark.pipeline import query_top_k
+    from near_duplicate_detection_spark.pipeline import query_top_k, query_top_k_batch
 
     spark = SparkSession.builder.appName("ndd-query").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     catalog = StageCatalog(spark, args.catalog)
-    hits = query_top_k(spark, catalog, NDDConfig(), args.text, k=args.k)
-    for row in hits.collect():
-        print(f"{row.jaccard:.4f}\t{row.cluster_id}\t{row.url}")
+    if args.text is not None:
+        hits = query_top_k(spark, catalog, NDDConfig(), args.text, k=args.k)
+        for row in hits.collect():
+            print(f"{row.jaccard:.4f}\t{row.cluster_id}\t{row.url}")
+        return 0
+    queries = (
+        spark.read.option("sep", "\t")
+        .schema("query_id string, text string")
+        .csv(args.queries_tsv)
+    )
+    hits = query_top_k_batch(spark, catalog, NDDConfig(), queries, k=args.k)
+    for row in hits.orderBy("query_id", "rank").collect():
+        print(f"{row.query_id}\t{row.rank}\t{row.jaccard:.4f}\t{row.cluster_id}\t{row.url}")
     return 0
 
 

@@ -540,3 +540,87 @@ def query_top_k(
         .orderBy(F.desc("jaccard"), F.asc("url"))
         .limit(k)
     )
+
+
+def query_top_k_batch(
+    spark: SparkSession,
+    catalog: StageCatalog,
+    cfg: NDDConfig,
+    queries: DataFrame,
+    k: int = 30,
+) -> DataFrame:
+    """Top-k near-duplicates for a whole TABLE of queries in one plan.
+
+    The reference serves one query per HTTP request (ndd/server_ndd.py:
+    271-306, an O(N) scan each); the Spark-native generalization signs every
+    query with the SAME distributed Arrow UDF used for indexing, then
+    resolves all of them with two equi-joins:
+
+      queries --mapInPandas--> query signatures
+        bands  ⋈  index bands      → (query_id, url) candidates
+        shingles ⋈ candidate sets  → exact Jaccard per (query_id, url)
+      window (query_id, cluster) keep-first → window query_id top-k
+
+    Everything scales with candidates, not queries × corpus: the band join
+    is an equi-join Catalyst is free to broadcast (few queries) or shuffle
+    (query table as big as the index — e.g. corpus-vs-corpus linking); the
+    verify shingle sets are computed once per DISTINCT candidate url across
+    all queries.
+
+    queries: DataFrame(query_id string, text string) → DataFrame(query_id,
+    url, jaccard, cluster_id, rank), rank 1..k per query, one hit per
+    cluster per query (W1 semantics).
+    """
+    from pyspark.sql import Window as W
+
+    from near_duplicate_detection_spark.functions.signatures import (
+        SHINGLE_SET_SCHEMA,
+        SIGNATURE_SCHEMA,
+        shingle_sets_map_fn,
+        signature_map_fn,
+    )
+    from near_duplicate_detection_spark.operators.lsh import explode_bands
+
+    q = queries.select(F.col("query_id").alias("url"), "text")
+    qsigs = q.mapInPandas(signature_map_fn(cfg), SIGNATURE_SCHEMA)
+    q_bands = explode_bands(qsigs).select(
+        F.col("url").alias("query_id"), "band_id", "band_hash"
+    )
+    q_sets = q.mapInPandas(shingle_sets_map_fn(cfg), SHINGLE_SET_SCHEMA).select(
+        F.col("url").alias("query_id"), F.col("shingles").alias("q_shingles")
+    )
+
+    candidates = (
+        explode_bands(catalog.read("signatures"))
+        .join(q_bands, ["band_id", "band_hash"])
+        .select("query_id", "url")
+        .distinct()
+    )
+    # verify sets once per distinct candidate url (shared across queries)
+    cand_sets = (
+        catalog.read("pages")
+        .select("url", "text")
+        .join(candidates.select("url").distinct(), "url", "left_semi")
+        .mapInPandas(shingle_sets_map_fn(cfg), SHINGLE_SET_SCHEMA)
+    )
+    inter = F.size(F.array_intersect(F.col("shingles"), F.col("q_shingles")))
+    union = F.size("shingles") + F.size("q_shingles") - inter
+    scored = (
+        candidates.join(cand_sets, "url")
+        .join(q_sets, "query_id")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .select("query_id", "url", "jaccard")
+    )
+    clusters = catalog.read("clusters").select("url", "cluster_id")
+    w_cluster = W.partitionBy("query_id", "cluster_id").orderBy(
+        F.desc("jaccard"), F.asc("url")
+    )
+    w_rank = W.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("url"))
+    return (
+        scored.join(clusters, "url", "left")
+        .withColumn("rn", F.row_number().over(w_cluster))
+        .where(F.col("rn") == 1)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= k)
+        .drop("rn")
+    )
