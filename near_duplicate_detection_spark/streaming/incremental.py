@@ -177,3 +177,89 @@ def windowed_ingest_stats(spark: SparkSession, pages_dir: str):
         .groupBy(F.window("warc_ts", "1 minute"), "lang")
         .agg(F.count("*").alias("n_pages"))
     )
+
+
+FP_TS_SCHEMA = "url string, fp bigint, warc_ts timestamp"
+
+
+def _fp_with_ts_fn(cfg: NDDConfig):
+    """mapInPandas fn: (url, text, warc_ts) → (url, fp, warc_ts) using the
+    SAME content-fingerprint family as the batch signature pass (fp is a
+    python-side SipHash over the normalized token stream — it cannot be
+    recomputed JVM-side, so streams reuse the Arrow UDF and pass the event
+    time through positionally)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from near_duplicate_detection_spark.functions.hashing import perm_params
+    from near_duplicate_detection_spark.functions.signatures import (
+        compute_signatures_batch,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b = perm_params(cfg.num_perms)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sigs = compute_signatures_batch(pdf["url"], pdf["text"], cfg, a, b)
+            out = sigs[["url", "fp"]].copy()
+            out["warc_ts"] = pdf["warc_ts"].values  # row order preserved
+            yield out
+
+    return fn
+
+
+def novel_pages_stream(
+    spark: SparkSession,
+    cfg: NDDConfig,
+    pages_dir: str,
+    signatures_path: str,
+):
+    """Ingestion filter: continuously-arriving pages whose exact content
+    fingerprint is NOT already in the built index — a stream-static LEFT
+    ANTI join (stateless for the static side; Spark re-plans it per
+    micro-batch). The streaming analog of the batch exact-dedup star
+    collapse (operators/lsh.py exact_groups): everything this filter passes
+    is new content; near-dup acceptance stays with the batch verify over
+    `streaming_candidate_pairs` output.
+
+    Returns a streaming DataFrame(url, fp, warc_ts) for the caller to sink.
+    """
+    index_fps = spark.read.parquet(signatures_path).select("fp").distinct()
+    stream = (
+        spark.readStream.schema(PAGES_STRUCT)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(pages_dir)
+        .select("url", "text", "warc_ts")
+    )
+    fps = stream.mapInPandas(_fp_with_ts_fn(cfg), schema=FP_TS_SCHEMA)
+    return fps.join(index_fps, "fp", "left_anti")
+
+
+def stream_exact_dedup(
+    spark: SparkSession,
+    cfg: NDDConfig,
+    pages_dir: str,
+    delay: str = "10 minutes",
+):
+    """In-stream exact dedup across micro-batches:
+    dropDuplicatesWithinWatermark on the content fingerprint keeps the FIRST
+    occurrence and bounds the dedup state by the watermark delay — the
+    streaming guarantee a plain dropDuplicates cannot give (its state grows
+    with every distinct fp forever). Re-crawls of the same content inside
+    the watermark window are suppressed; re-crawls after it re-emit, which
+    is the correct crawl semantics (content is re-validated per crawl
+    horizon, matching the reference's re-index-on-update policy,
+    ndd/server_ndd.py:158-182).
+
+    Returns a streaming DataFrame(url, fp, warc_ts).
+    """
+    stream = (
+        spark.readStream.schema(PAGES_STRUCT)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(pages_dir)
+        .select("url", "text", "warc_ts")
+    )
+    fps = stream.mapInPandas(_fp_with_ts_fn(cfg), schema=FP_TS_SCHEMA)
+    return fps.withWatermark("warc_ts", delay).dropDuplicatesWithinWatermark(["fp"])

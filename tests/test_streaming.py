@@ -11,7 +11,9 @@ from near_duplicate_detection_spark.pipeline import NDDPipeline
 from near_duplicate_detection_spark.sources.pages import generate_pages
 from near_duplicate_detection_spark.streaming.incremental import (
     incremental_signatures,
+    novel_pages_stream,
     recrawl_suppressor,
+    stream_exact_dedup,
     streaming_candidate_pairs,
     windowed_ingest_stats,
 )
@@ -153,3 +155,73 @@ def test_windowed_ingest_stats_watermark(spark, tmp_path):
     assert out.n_pages.sum() == 120
     assert set(out.lang) <= {"en", "de", "fr", "es", "zh"}
     assert len(out["window"].map(lambda w: w["start"]).unique()) == 2
+
+
+def test_novel_pages_stream_filters_indexed_content(spark, tmp_path):
+    """Stream-static anti-join on content fp: an exact re-crawl of indexed
+    content is dropped; genuinely new content passes."""
+    import datetime
+
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "cat")
+    pipe = NDDPipeline(spark, CFG, base)
+    pipe.stage0_ingest(generate_pages(spark, 80))
+    pipe.stage1_signatures()
+
+    dup_src = (
+        pipe.pages_table().where(F.col("url").endswith("0005")).limit(1)
+        .select("text").collect()[0]
+    )
+    ts = datetime.datetime(2026, 1, 1)
+    new_dir = str(tmp_path / "incoming")
+    pd.DataFrame(
+        {
+            "url": ["stream://recrawl", "stream://novel"],
+            "warc_ts": [ts, ts],
+            "text": [dup_src.text, " ".join(f"nv{i}" for i in range(40))],
+        }
+    ).pipe(spark.createDataFrame).write.parquet(new_dir)
+
+    q = (
+        novel_pages_stream(spark, CFG, new_dir, pipe.catalog.path("signatures"))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("novel_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_novel"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    out = spark.sql("SELECT * FROM novel_out").toPandas()
+    assert set(out.url) == {"stream://novel"}
+
+
+def test_stream_exact_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on fp: duplicate content inside the
+    watermark horizon emits once; distinct content all passes."""
+    import datetime
+
+    src = str(tmp_path / "crawl_dedup")
+    ts = datetime.datetime(2026, 1, 1)
+    rows = {
+        "url": ["a", "b", "c", "d"],
+        "warc_ts": [ts, ts, ts + datetime.timedelta(minutes=1), ts],
+        "text": ["same text here", "same text here", "same text here", "other text"],
+    }
+    pd.DataFrame(rows).pipe(spark.createDataFrame).write.parquet(src)
+
+    q = (
+        stream_exact_dedup(spark, CFG, src, delay="10 minutes")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", str(tmp_path / "dedup_out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    out = spark.read.parquet(str(tmp_path / "dedup_out")).toPandas()
+    assert len(out) == 2  # one survivor per distinct fp
+    assert set(out.fp).__len__() == 2
+    assert "d" in set(out.url)
