@@ -412,6 +412,53 @@ SELECT doc_id, unnest(fps) AS fp FROM w
 """
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+[0-9][0-9-]{7,}[0-9]"
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (training-pipeline op): scrub emails/phones from text
+    with counting — pure regexp column expressions, no UDF. The PII-bearing
+    text is synthesized deterministically from customer columns (the test
+    tables carry no real PII, so the operator under test is the redaction,
+    not the detection corpus)."""
+    c = _t(spark, sf_dir, "customer")
+    txt = F.format_string(
+        "reach %s at user%d@example.com or +1-555-%04d now",
+        F.col("c_name"),
+        F.col("c_custkey"),
+        F.pmod(F.col("c_custkey"), F.lit(10000)),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(txt, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return c.select(
+        "c_custkey",
+        redacted.alias("redacted"),
+        F.size(F.regexp_extract_all(txt, F.lit(_PII_EMAIL), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(txt, F.lit(_PII_PHONE), F.lit(0))).alias(
+            "n_phones"
+        ),
+    )
+
+
+SQL_PII_REDACT = f"""
+WITH synth AS (
+  SELECT c_custkey,
+         printf('reach %s at user%d@example.com or +1-555-%04d now',
+                c_name, c_custkey, c_custkey % 10000) AS txt
+  FROM customer)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(txt, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                      '{_PII_PHONE}', '<PHONE>', 'g') AS redacted,
+       len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(txt, '{_PII_PHONE}')) AS n_phones
+FROM synth
+"""
+
+
 def q_salted_distinct_tokens(spark, sf_dir):
     """Skew-safe exact per-source distinct-token count via value-salted
     two-phase aggregation (operators/skew.py): phase 1 groups by
@@ -1279,6 +1326,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_cosine_dup_pairs": q_embedding_cosine_dup_pairs,
     "doc_fingerprint_winnow": q_doc_fingerprint_winnow,
     "salted_distinct_tokens": q_salted_distinct_tokens,
+    "pii_redact": q_pii_redact,
     "ms_to_hms": q_ms_to_hms,
     "json_extract": q_json_extract,
     "base64_encode": q_base64_encode,
@@ -1318,6 +1366,7 @@ ORACLES: dict[str, str] = {
     "embedding_cosine_dup_pairs": SQL_EMBEDDING_COSINE_DUP_PAIRS,
     "doc_fingerprint_winnow": SQL_DOC_FINGERPRINT_WINNOW,
     "salted_distinct_tokens": SQL_SALTED_DISTINCT_TOKENS,
+    "pii_redact": SQL_PII_REDACT,
     "ms_to_hms": SQL_MS_TO_HMS,
     "json_extract": SQL_JSON_EXTRACT,
     "base64_encode": SQL_BASE64_ENCODE,
