@@ -26,9 +26,14 @@ import tempfile
 import time
 
 # skip the repeat pass if the first pass exceeded this (a slow-episode run
-# must not double; a healthy run is far below it)
+# must not double; a healthy run is far below it). Guards scale with sf:
+# the constants are calibrated at sf=0.1 and the workload is linear in sf.
 PIPELINE_GUARD_S = 240.0
 QUERIES_GUARD_S = 120.0
+
+
+def _guard(base_s: float, sf: float) -> float:
+    return base_s * max(sf / 0.1, 1.0)
 
 
 def _run_pipeline(spark, cfg, n_docs, timings: dict[str, float]) -> None:
@@ -95,13 +100,15 @@ def main() -> None:
     # ---- headline: full near-dup pipeline over synthetic pages (~400k*sf docs)
     n_docs = max(int(400_000 * sf), 2_000)
     cfg = NDDConfig()
+    pass_counts = {"pipeline": 1, "queries": 1}
     t0 = time.monotonic()
     _run_pipeline(spark, cfg, n_docs, timings)
     first_pass = time.monotonic() - t0
     for _ in range(passes - 1):
-        if first_pass > PIPELINE_GUARD_S:
+        if first_pass > _guard(PIPELINE_GUARD_S, sf):
             break
         _run_pipeline(spark, cfg, n_docs, timings)
+        pass_counts["pipeline"] += 1
     dedup_sec = sum(v for k, v in timings.items() if k.startswith("dedup_stage"))
 
     # ---- contract queries over the sf-dir driver tables
@@ -109,9 +116,10 @@ def main() -> None:
     _run_queries(spark, sf_dir, timings)
     first_pass = time.monotonic() - t0
     for _ in range(passes - 1):
-        if first_pass > QUERIES_GUARD_S:
+        if first_pass > _guard(QUERIES_GUARD_S, sf):
             break
         _run_queries(spark, sf_dir, timings)
+        pass_counts["queries"] += 1
 
     total = round(sum(timings.values()), 3)
     print(
@@ -126,6 +134,7 @@ def main() -> None:
                 "dedup_pipeline_sec": round(dedup_sec, 3),
                 "dedup_docs_per_sec": round(n_docs / dedup_sec, 1) if dedup_sec else None,
                 "cpus": int(cpus),
+                "timed_passes": pass_counts,
             }
         )
     )

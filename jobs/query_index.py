@@ -47,6 +47,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
     queries = (
         spark.read.option("sep", "\t")
+        # raw TSV: no quote/escape processing — query text must reach the
+        # signature UDF byte-identical to the file content
+        .option("quote", "")
+        .option("escape", "")
         .schema("query_id string, text string")
         .csv(args.queries_tsv)
     )

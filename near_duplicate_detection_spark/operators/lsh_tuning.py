@@ -81,6 +81,8 @@ def recall_floor(bands: int, rows: int, verify_jaccard: float) -> float:
 
 def s_curve(bands: int, rows: int, steps: int = 21) -> list[tuple[float, float]]:
     """(J, p(J)) samples for reporting/plots."""
+    if steps < 2:
+        raise ValueError("steps must be >= 2")
     return [
         (i / (steps - 1), collision_probability(i / (steps - 1), bands, rows))
         for i in range(steps)

@@ -72,9 +72,18 @@ def salted_join(
     if how not in ("inner", "left", "left_semi", "left_anti"):
         # right/full would emit unmatched replicated dim rows n_salt times
         raise ValueError(f"salted_join supports fact-preserving joins, not {how!r}")
+    if "_salt" in fact.columns or "_salt" in dim.columns:
+        raise ValueError("inputs must not carry a _salt column")
+    from pyspark.sql.types import MapType
+
+    # xxhash64 rejects MapType inputs; any non-map subset of columns is a
+    # valid (deterministic) spread source
+    hashable = [
+        f.name for f in fact.schema.fields if not isinstance(f.dataType, MapType)
+    ]
     hot = F.col(key).isin(hot_keys)
     fact_salt = F.when(
-        hot, F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+        hot, F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salt))
     ).otherwise(F.lit(0))
     f = fact.withColumn("_salt", fact_salt)
     dim_salts = F.when(

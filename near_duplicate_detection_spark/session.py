@@ -58,10 +58,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # bucketed stage tables (sources/bucketed.py) need a catalog home;
-        # keep it off the repo tree
+        # keep it off the repo tree AND per-process (a fixed shared path
+        # would let concurrent runs overwrite each other's saveAsTable dirs)
         .config(
             "spark.sql.warehouse.dir",
-            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/ndd_warehouse"),
+            os.environ.get(
+                "SPARK_GRAFT_WAREHOUSE", f"/tmp/ndd_warehouse_{os.getpid()}"
+            ),
         )
     )
     for k, v in (extra_conf or {}).items():

@@ -78,9 +78,12 @@ def streaming_candidate_pairs(
     streaming analog of the reference's request-driven similarity probe
     (ndd/server_ndd.py:271-306), at crawl granularity instead of per-request.
 
-    Stream-static joins need no state for the static side (Spark re-plans it
-    per micro-batch, picking broadcast when the index fits); the stream side
-    carries only the new docs' bands. Output: (url_new, url_indexed) LSH
+    Stream-static joins need no state for the static side (Spark re-plans
+    the join per micro-batch, picking broadcast when the index fits — but
+    the static side's FILE LISTING is snapshotted when the query starts, so
+    a re-indexed/compacted signatures table needs a query restart to be
+    seen; with availableNow triggers + checkpoints a restart is the normal
+    cadence anyway); the stream side carries only the new docs' bands. Output: (url_new, url_indexed) LSH
     candidates — acceptance stays with the batch exact-Jaccard verify, which
     recomputes shingle sets for candidates only (the engine never stores
     corpus-wide shingle sets; see operators/verify.py).
@@ -218,8 +221,10 @@ def novel_pages_stream(
 ):
     """Ingestion filter: continuously-arriving pages whose exact content
     fingerprint is NOT already in the built index — a stream-static LEFT
-    ANTI join (stateless for the static side; Spark re-plans it per
-    micro-batch). The streaming analog of the batch exact-dedup star
+    ANTI join (stateless for the static side; its file listing is
+    snapshotted at query start, so restart the query after a re-index — the
+    normal cadence with availableNow triggers + checkpoints). The
+    streaming analog of the batch exact-dedup star
     collapse (operators/lsh.py exact_groups): everything this filter passes
     is new content; near-dup acceptance stays with the batch verify over
     `streaming_candidate_pairs` output.

@@ -61,6 +61,8 @@ def test_colocated_join_matches_plain(spark, bucketed_pair):
 
 
 def test_bucket_pruning_on_point_lookup(spark, bucketed_pair):
-    q = spark.table("t_sigs").where(F.col("url") == "u123")
+    from near_duplicate_detection_spark.sources.bucketed import read_bucketed
+
+    q = read_bucketed(spark, "t_sigs").where(F.col("url") == "u123")
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "SelectedBucketsCount: 1 out of 8" in plan

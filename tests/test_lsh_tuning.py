@@ -103,3 +103,19 @@ def test_describe_shape():
     d = describe(CFG.lsh_bands, CFG.lsh_rows, CFG.jaccard_threshold)
     assert d["num_perms"] == CFG.num_perms
     assert d["recall_floor_at_verify"] >= 0.988
+
+
+def test_s_curve_and_candidate_rate():
+    from near_duplicate_detection_spark.operators.lsh_tuning import (
+        expected_candidate_rate,
+        s_curve,
+    )
+
+    pts = s_curve(CFG.lsh_bands, CFG.lsh_rows, steps=11)
+    assert pts[0] == (0.0, 0.0) and pts[-1][1] == 1.0
+    assert all(b[1] >= a[1] for a, b in zip(pts, pts[1:]))  # monotone
+    assert expected_candidate_rate(
+        0.3, CFG.lsh_bands, CFG.lsh_rows
+    ) == collision_probability(0.3, CFG.lsh_bands, CFG.lsh_rows)
+    with pytest.raises(ValueError):
+        s_curve(CFG.lsh_bands, CFG.lsh_rows, steps=1)
