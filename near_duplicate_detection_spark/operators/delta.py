@@ -1,0 +1,149 @@
+"""Delta stage-2: append-only incremental pair generation.
+
+Full stage 2 re-processing on every append is correct (the data-aware resume
+hashes force it) but wasteful at scale: appending 1% of a 10^12-doc corpus
+should not redo the corpus-wide band groupBy. This module computes exactly
+the NEW work:
+
+  new exact-dup members  → star edge to the EXISTING group representative
+                           (rep stays stable, so the cluster partition is
+                           unchanged up to edge choice — transitively
+                           equivalent to a full rebuild);
+  new unique content     → fresh exact groups among the new docs, then LSH:
+                           new reps' bands probe the OLD reps' bands with an
+                           equi-join restricted to the affected band keys —
+                           a map-side explode + semi-join filter, NO
+                           corpus-wide groupBy shuffle (the affected-bucket
+                           re-aggregation shuffles only touched rows);
+  candidate filtering    → only pairs touching ≥1 new url are verified
+                           (old×old pairs were verified in prior runs).
+
+Ceiling semantics on growth: a bucket that crosses ``max_bucket_size``
+because of the append is flagged and its members routed to the SimHash
+fallback, exactly like the full path — but pairs expanded in EARLIER runs
+(when the bucket was under the ceiling) are kept. The delta result is
+therefore a superset of the full rebuild's verified pairs in that corner:
+recall is ≥ the full rebuild, never below (tests pin cluster-partition
+equality in the no-crossing case).
+
+Append-ONLY: edits and deletions invalidate the delta premise (stale pairs
+would survive); the pipeline detects both against the stage-2 `seen`
+snapshot and falls back to the full rebuild path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from near_duplicate_detection_spark.config import NDDConfig
+from near_duplicate_detection_spark.operators.lsh import (
+    explode_bands,
+    flagged_buckets,
+    flagged_members,
+    pairs_from_buckets,
+    simhash_fallback_pairs,
+)
+
+
+def classify_drift(
+    signatures: DataFrame, seen: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """signatures (current) vs seen (url, fp as of last stage 2) →
+    (new_sigs, violations). violations = removed urls ∪ edited urls (fp
+    changed); non-empty violations ⇒ the caller must run the full path."""
+    new_sigs = signatures.join(seen.select("url"), "url", "left_anti")
+    removed = seen.select("url").join(
+        signatures.select("url"), "url", "left_anti"
+    )
+    edited = (
+        seen.withColumnRenamed("fp", "seen_fp")
+        .join(signatures.select("url", "fp"), "url")
+        .where(F.col("fp") != F.col("seen_fp"))
+        .select("url")
+    )
+    return new_sigs, removed.union(edited)
+
+
+def delta_exact(
+    new_sigs: DataFrame, rep_map: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Exact-dup handling for appended docs.
+
+    rep_map: (fp, rep) — the stage-2 reps table. New docs whose fp matches
+    an existing group star-link to the EXISTING rep (stable reps keep the
+    cluster partition identical to a full rebuild, which would re-pick
+    min(url) and merely re-shape the star). Unmatched fps form fresh groups
+    among themselves. → (exact_edges(url_a, url_b, jaccard=1.0),
+    new_reps(signature rows — one per fresh fp))."""
+    joined = new_sigs.join(rep_map, "fp", "left")
+    matched = joined.where(F.col("rep").isNotNull()).select(
+        F.least("rep", "url").alias("url_a"),
+        F.greatest("rep", "url").alias("url_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    fresh = joined.where(F.col("rep").isNull()).drop("rep")
+    fresh_rep = fresh.groupBy("fp").agg(F.min("url").alias("rep"))
+    fresh_with = fresh.join(fresh_rep, "fp")
+    fresh_edges = fresh_with.where(F.col("url") != F.col("rep")).select(
+        F.col("rep").alias("url_a"),
+        F.col("url").alias("url_b"),
+        F.lit(1.0).alias("jaccard"),
+    )
+    new_reps = fresh_with.where(F.col("url") == F.col("rep")).drop("rep")
+    return matched.union(fresh_edges), new_reps
+
+
+def delta_lsh_candidates(
+    old_rep_sigs: DataFrame, new_reps: DataFrame, cfg: NDDConfig
+) -> tuple[DataFrame, DataFrame]:
+    """LSH candidates involving ≥1 new representative.
+
+    Shuffle shape: the old side is a map-side explode + left-semi filter on
+    the affected band keys (no corpus-wide groupBy — the expensive full-
+    rebuild shuffle); only the affected buckets re-aggregate. Bucket sizes
+    are computed over old+new members, so ceiling flags see the TRUE post-
+    append size. → (candidate pairs touching a new url, flagged buckets)."""
+    new_bands = explode_bands(new_reps.select("url", "bands"))
+    keys = new_bands.select("band_id", "band_hash").distinct()
+    # equi-joins move the join keys to the FRONT of the column order —
+    # re-select explicitly before every positional union in this function
+    old_members = (
+        explode_bands(old_rep_sigs.select("url", "bands"))
+        .join(keys, ["band_id", "band_hash"], "left_semi")
+        .select("url", "band_id", "band_hash")
+    )
+    members = old_members.union(new_bands.select("url", "band_id", "band_hash"))
+    buckets = (
+        members.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("url").alias("urls"))
+        .withColumn("bucket_size", F.size("urls"))
+        .where(F.col("bucket_size") >= 2)
+    )
+    flagged = flagged_buckets(buckets, cfg)
+    all_rep_sigs = old_rep_sigs.select("url", "simhash").unionByName(
+        new_reps.select("url", "simhash")
+    )
+    cands = (
+        pairs_from_buckets(buckets, cfg, dedup=False)
+        .union(
+            simhash_fallback_pairs(
+                all_rep_sigs, flagged_members(buckets, cfg), cfg, dedup=False
+            )
+        )
+        .dropDuplicates(["url_a", "url_b"])
+    )
+    new_urls = new_reps.select("url")
+    touching = (
+        cands.join(
+            new_urls.withColumnRenamed("url", "url_a"), "url_a", "left_semi"
+        )
+        .select("url_a", "url_b")
+        .union(
+            cands.join(
+                new_urls.withColumnRenamed("url", "url_b"), "url_b", "left_semi"
+            ).select("url_a", "url_b")
+        )
+        .dropDuplicates(["url_a", "url_b"])
+    )
+    return touching, flagged

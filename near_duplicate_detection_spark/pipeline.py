@@ -320,7 +320,13 @@ class NDDPipeline:
         ).localCheckpoint()
         verified = verify_pairs(cands, sets, cfg)
         cat.write(verified.unionByName(exact_edges), "pairs")
-        cat.write(reps.select("url"), "reps")
+        # reps carries fp → it doubles as the exact-group rep_map the delta
+        # path joins appended docs against (operators/delta.py)
+        cat.write(reps.select("url", "fp"), "reps")
+        # `seen` = the (url, fp) snapshot this stage processed — the delta
+        # path's drift detector (append vs edit vs delete). At Iceberg scale
+        # this is a snapshot id, not a table.
+        cat.write(sigs.select("url", "fp"), "seen")
         wall_ms = int((time.monotonic() - t0) * 1000)
         n_pairs = cat.count_rows("pairs")
         cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
@@ -334,6 +340,67 @@ class NDDPipeline:
                 "wall_ms": wall_ms,
             },
         )
+
+    def stage2_pairs_delta(self) -> bool:
+        """Append-only incremental stage 2 (operators/delta.py): new docs'
+        pairs are computed against the existing reps/pairs state instead of
+        re-running the corpus-wide band groupBy. Returns True if the delta
+        path ran (or nothing changed); False if edits/deletions were
+        detected — the caller must run the full ``stage2_pairs``.
+
+        Cluster-partition equivalence with a full rebuild is pinned by
+        tests/test_incremental.py; in the bucket-ceiling-crossing corner
+        the delta keeps strictly MORE verified pairs (recall ≥ full)."""
+        from near_duplicate_detection_spark.operators.delta import (
+            classify_drift,
+            delta_exact,
+            delta_lsh_candidates,
+        )
+
+        cfg, cat = self.cfg, self.catalog
+        h = self.stage2_run_hash()
+        if cat.completed_partitions("pairs", h):
+            return True  # already current
+        if not (cat.exists("seen") and cat.exists("reps") and cat.exists("pairs")):
+            return False  # no prior full run to delta against
+        t0 = time.monotonic()
+        sigs = cat.read("signatures").select("url", "fp", "bands", "simhash")
+        seen = cat.read("seen")
+        new_sigs, violations = classify_drift(sigs, seen)
+        new_sigs = new_sigs.localCheckpoint()
+        if violations.limit(1).count():
+            return False  # edit/delete drift → full path
+        n_new = new_sigs.count()
+        if n_new == 0:
+            cat.mark_complete("pairs", h, {-1: cat.count_rows("pairs")}, 0)
+            return True
+        reps_tbl = cat.read("reps")
+        rep_map = reps_tbl.select("fp", F.col("url").alias("rep"))
+        exact_edges, new_reps = delta_exact(new_sigs, rep_map)
+        new_reps = new_reps.localCheckpoint()
+        old_rep_sigs = sigs.join(reps_tbl.select("url"), "url", "left_semi")
+        cands, flagged = delta_lsh_candidates(old_rep_sigs, new_reps, cfg)
+        cands = cands.localCheckpoint()
+        sets = candidate_shingle_sets(
+            cands, self.pages_table(), cfg
+        ).localCheckpoint()
+        verified = verify_pairs(cands, sets, cfg)
+        cat.write(verified.unionByName(exact_edges), "pairs", mode="append")
+        cat.write(new_reps.select("url", "fp"), "reps", mode="append")
+        cat.write(new_sigs.select("url", "fp"), "seen", mode="append")
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        n_pairs = cat.count_rows("pairs")
+        cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
+        cat.add_metrics(
+            "pairs",
+            {
+                "verified_pairs": n_pairs,
+                "delta_new_docs": n_new,
+                "flagged_buckets": flagged.count(),
+                "wall_ms": wall_ms,
+            },
+        )
+        return True
 
     # ---------- stage 2b ----------
 
@@ -458,6 +525,26 @@ class NDDPipeline:
         if substring_pass:
             self.stage2b_substring(resume)
         self.stage3_clusters(resume)
+        return self.catalog.read("clusters")
+
+    def run_incremental(
+        self,
+        pages: DataFrame | None = None,
+        substring_pass: bool = True,
+    ) -> DataFrame:
+        """Append-optimized build: stages 0/1 resume per drifted bucket (as
+        always), stage 2 runs the DELTA path when the drift is append-only
+        (falling back to the full rebuild on edits/deletions), stages 2b/3
+        re-run over the updated state. `pages` is the FULL current snapshot
+        (same contract as run()); the appended docs are inferred."""
+        if pages is not None:
+            self.stage0_ingest(pages, resume=True)
+        self.stage1_signatures(resume=True)
+        if not self.stage2_pairs_delta():
+            self.stage2_pairs(resume=True)
+        if substring_pass:
+            self.stage2b_substring(resume=True)
+        self.stage3_clusters(resume=True)
         return self.catalog.read("clusters")
 
 

@@ -1,0 +1,89 @@
+"""Delta stage-2 (operators/delta.py, pipeline.run_incremental): appending
+docs must produce the SAME cluster partition as a from-scratch rebuild,
+without re-running the corpus-wide band groupBy; edits/deletes fall back."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_duplicate_detection_spark.config import NDDConfig
+from near_duplicate_detection_spark.pipeline import NDDPipeline
+from near_duplicate_detection_spark.sources.pages import generate_pages
+
+CFG = NDDConfig(num_buckets=4)
+N1, N2 = 300, 420  # append cuts a 20-block: cross-boundary dup links exist
+
+
+def _partition(clusters_pdf):
+    return {
+        frozenset(grp.url) for _, grp in clusters_pdf.groupby("cluster_id")
+    }
+
+
+@pytest.fixture(scope="module")
+def incremental_built(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("ndd_inc"))
+    pipe = NDDPipeline(spark, CFG, base)
+    pipe.run(generate_pages(spark, N1))
+    pairs_before = pipe.catalog.count_rows("pairs")
+    clusters = pipe.run_incremental(generate_pages(spark, N2)).toPandas()
+    return pipe, clusters, pairs_before
+
+
+def test_incremental_covers_appended_docs(incremental_built):
+    _, clusters, _ = incremental_built
+    assert len(clusters) == N2
+
+
+def test_incremental_matches_full_rebuild_partition(
+    spark, tmp_path_factory, incremental_built
+):
+    _, inc_clusters, _ = incremental_built
+    full = NDDPipeline(
+        spark, CFG, str(tmp_path_factory.mktemp("ndd_full"))
+    ).run(generate_pages(spark, N2)).toPandas()
+    assert _partition(inc_clusters) == _partition(full)
+
+
+def test_incremental_used_delta_path(incremental_built):
+    """The delta run must have appended pairs (not overwritten them) and
+    recorded the delta metric."""
+    pipe, _, pairs_before = incremental_built
+    metrics = pipe.catalog.read("metrics").toPandas()
+    delta_rows = metrics[
+        (metrics.stage == "pairs") & (metrics.key == "delta_new_docs")
+    ]
+    assert len(delta_rows) >= 1
+    assert int(delta_rows.value.iloc[-1]) == N2 - N1
+    assert pipe.catalog.count_rows("pairs") > pairs_before
+
+
+def test_edit_falls_back_to_full(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("ndd_edit"))
+    pipe = NDDPipeline(spark, CFG, base)
+    pipe.run(generate_pages(spark, 100))
+    edited = generate_pages(spark, 100).withColumn(
+        "text",
+        F.when(
+            F.col("url").endswith("0006"),
+            F.concat(F.col("text"), F.lit(" freshly edited tail")),
+        ).otherwise(F.col("text")),
+    )
+    assert pipe.stage2_pairs_delta.__doc__  # method exists
+    pipe.stage0_ingest(edited, resume=True)
+    pipe.stage1_signatures(resume=True)
+    assert pipe.stage2_pairs_delta() is False  # drift detected → full path
+    clusters = pipe.run_incremental(edited).toPandas()
+    assert len(clusters) == 100
+
+
+def test_noop_incremental_is_cheap(spark, tmp_path_factory):
+    """Same snapshot twice: the delta path must mark complete without
+    appending anything."""
+    base = str(tmp_path_factory.mktemp("ndd_noop"))
+    pipe = NDDPipeline(spark, CFG, base)
+    pipe.run(generate_pages(spark, 120))
+    n_pairs = pipe.catalog.count_rows("pairs")
+    pipe.run_incremental(generate_pages(spark, 120))
+    assert pipe.catalog.count_rows("pairs") == n_pairs
