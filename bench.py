@@ -36,7 +36,9 @@ def _guard(base_s: float, sf: float) -> float:
     return base_s * max(sf / 0.1, 1.0)
 
 
-def _run_pipeline(spark, cfg, n_docs, timings: dict[str, float]) -> None:
+def _run_pipeline(
+    spark, cfg, n_docs, timings: dict[str, float], keep: bool = False
+) -> str | None:
     from near_duplicate_detection_spark.pipeline import NDDPipeline
     from near_duplicate_detection_spark.sources.pages import generate_pages
 
@@ -55,6 +57,31 @@ def _run_pipeline(spark, cfg, n_docs, timings: dict[str, float]) -> None:
             step()
             dt = round(time.monotonic() - t0, 3)
             timings[key] = min(timings.get(key, dt), dt)
+        return base if keep else None
+    finally:
+        if not keep:
+            shutil.rmtree(base, ignore_errors=True)
+
+
+def _measure_incremental(spark, cfg, base: str, n_docs: int) -> dict:
+    """Append 10% more docs to the kept catalog and time run_incremental
+    (delta stage 2) — reported OUTSIDE the headline total: it measures the
+    append path, not the full-build throughput the baseline compares."""
+    from near_duplicate_detection_spark.pipeline import NDDPipeline
+    from near_duplicate_detection_spark.sources.pages import generate_pages
+
+    n_after = int(n_docs * 1.1)
+    try:
+        pipe = NDDPipeline(spark, cfg, base)
+        t0 = time.monotonic()
+        pipe.run_incremental(generate_pages(spark, n_after))
+        wall = time.monotonic() - t0
+        appended = n_after - n_docs
+        return {
+            "incremental_appended_docs": appended,
+            "incremental_append_sec": round(wall, 3),
+            "incremental_docs_per_sec": round(appended / wall, 1),
+        }
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -102,14 +129,19 @@ def main() -> None:
     cfg = NDDConfig()
     pass_counts = {"pipeline": 1, "queries": 1}
     t0 = time.monotonic()
-    _run_pipeline(spark, cfg, n_docs, timings)
+    kept = _run_pipeline(spark, cfg, n_docs, timings, keep=passes == 1)
     first_pass = time.monotonic() - t0
-    for _ in range(passes - 1):
+    for i in range(passes - 1):
         if first_pass > _guard(PIPELINE_GUARD_S, sf):
             break
-        _run_pipeline(spark, cfg, n_docs, timings)
+        kept = _run_pipeline(
+            spark, cfg, n_docs, timings, keep=i == passes - 2
+        )
         pass_counts["pipeline"] += 1
     dedup_sec = sum(v for k, v in timings.items() if k.startswith("dedup_stage"))
+    incremental = (
+        _measure_incremental(spark, cfg, kept, n_docs) if kept else {}
+    )
 
     # ---- contract queries over the sf-dir driver tables
     t0 = time.monotonic()
@@ -135,6 +167,7 @@ def main() -> None:
                 "dedup_docs_per_sec": round(n_docs / dedup_sec, 1) if dedup_sec else None,
                 "cpus": int(cpus),
                 "timed_passes": pass_counts,
+                **incremental,
             }
         )
     )

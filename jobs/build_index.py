@@ -5,6 +5,7 @@ Usage:
     spark-submit --py-files ndd.zip jobs/build_index.py \
         --pages /path/to/pages_parquet --catalog /path/to/catalog \
         [--n-synthetic 100000] [--no-resume] [--no-substring] \
+        [--incremental] \
         [--shingle-k 5] [--num-perms 128] [--bands 32] [--rows 4] \
         [--jaccard 0.6] [--buckets 64]
 
@@ -28,6 +29,11 @@ def main(argv: list[str] | None = None) -> int:
     src.add_argument("--n-synthetic", type=int, help="generate N synthetic pages")
     ap.add_argument("--catalog", required=True, help="stage-table catalog dir")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--incremental", action="store_true",
+        help="append-optimized: delta stage 2 when the snapshot only ADDS "
+             "docs (falls back to the full path on edits/deletions)",
+    )
     ap.add_argument("--no-substring", action="store_true")
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--num-perms", type=int, default=128)
@@ -62,9 +68,14 @@ def main(argv: list[str] | None = None) -> int:
         from near_duplicate_detection_spark.sources.pages import generate_pages
 
         pages = generate_pages(spark, args.n_synthetic)
-    clusters = pipe.run(
-        pages, resume=not args.no_resume, substring_pass=not args.no_substring
-    )
+    if args.incremental:
+        clusters = pipe.run_incremental(
+            pages, substring_pass=not args.no_substring
+        )
+    else:
+        clusters = pipe.run(
+            pages, resume=not args.no_resume, substring_pass=not args.no_substring
+        )
     stats = {
         "clusters_rows": pipe.catalog.count_rows("clusters"),
         "pairs": pipe.catalog.count_rows("pairs"),
