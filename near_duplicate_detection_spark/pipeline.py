@@ -188,25 +188,100 @@ class NDDPipeline:
         if not pending:
             return
         t0 = time.monotonic()
-        todo = self.pages_table().where(
-            F.col("bucket").isin([int(b) for b in pending])
-        )
-        # bucket recomputed JVM-side after the UDF — it is a pure function of
-        # url (the stage-0 expression, see stage0_ingest), so no Python
-        # passthrough layer is needed and the map stays single-column-pure
-        sigs = (
-            todo.select("url", "text")
-            .mapInPandas(signature_map_fn(cfg), schema=SIGNATURE_SCHEMA)
-            .withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int"),
+
+        # ---- pure-append fast path: a drifted bucket whose NEW urls alone
+        # account for the full (rows, checksum) delta has every old row
+        # byte-unchanged (an edit keeps the url in signatures, so it is
+        # excluded from the anti-join and the checksum identity fails; a
+        # delete fails the row-count identity) → sign ONLY the new docs and
+        # append to the partition. Appends hash uniformly into ALL buckets,
+        # so without this the bucket-granular resume re-signs the whole
+        # corpus for a 1% append.
+        append_cand = [
+            b
+            for b in pending
+            if resume
+            and b in sig_stats
+            and pages_stats.get(b, (0, 0))[0] > sig_stats[b][0]
+        ]
+        appended: set[int] = set()
+        n_appended_docs = 0
+        if append_cand:
+            cand_pages = (
+                self.pages_table()
+                .where(F.col("bucket").isin([int(b) for b in append_cand]))
+                .select(
+                    "url",
+                    "text",
+                    "bucket",
+                    F.shiftrightunsigned(F.xxhash64("url", "text"), 32).alias("h"),
+                )
             )
-        )
-        # input partitions are bucket-pure (stage 0), so this partitioned
-        # write emits one file per task, no fan-out
-        cat.write(
-            sigs, "signatures", partition_by=["bucket"], max_records_per_file=2048
-        )
+            new_docs = cand_pages.join(
+                cat.read("signatures")
+                .where(F.col("bucket").isin([int(b) for b in append_cand]))
+                .select("url"),
+                "url",
+                "left_anti",
+            ).localCheckpoint()
+            delta_stats = {
+                int(r["bucket"]): (int(r["rows"]), int(r["cks"]))
+                for r in new_docs.groupBy("bucket")
+                .agg(F.count("*").alias("rows"), F.sum("h").alias("cks"))
+                .collect()
+            }
+            for b in append_cand:
+                want = (
+                    pages_stats[b][0] - sig_stats[b][0],
+                    pages_stats[b][1] - sig_stats[b][1],
+                )
+                if delta_stats.get(b) == want:
+                    appended.add(b)
+                    n_appended_docs += want[0]
+            if appended:
+                new_sigs = (
+                    new_docs.where(
+                        F.col("bucket").isin([int(b) for b in appended])
+                    )
+                    .select("url", "text")
+                    .mapInPandas(signature_map_fn(cfg), schema=SIGNATURE_SCHEMA)
+                    .withColumn(
+                        "bucket",
+                        F.pmod(
+                            F.xxhash64("url"), F.lit(cfg.num_buckets)
+                        ).cast("int"),
+                    )
+                )
+                cat.write(
+                    new_sigs,
+                    "signatures",
+                    partition_by=["bucket"],
+                    mode="append",
+                    max_records_per_file=2048,
+                )
+
+        full = [b for b in pending if b not in appended]
+        if full:
+            todo = self.pages_table().where(
+                F.col("bucket").isin([int(b) for b in full])
+            )
+            # bucket recomputed JVM-side after the UDF — it is a pure
+            # function of url (the stage-0 expression, see stage0_ingest),
+            # so no Python passthrough layer is needed
+            sigs = (
+                todo.select("url", "text")
+                .mapInPandas(signature_map_fn(cfg), schema=SIGNATURE_SCHEMA)
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int"),
+                )
+            )
+            # input partitions are bucket-pure (stage 0), so this partitioned
+            # write emits one file per task, no fan-out
+            cat.write(
+                sigs, "signatures", partition_by=["bucket"],
+                max_records_per_file=2048,
+            )
         wall_ms = int((time.monotonic() - t0) * 1000)
         counts = cat.bucket_counts("signatures")
         cat.mark_complete(
@@ -227,7 +302,9 @@ class NDDPipeline:
         cat.add_metrics(
             "signatures",
             {
-                "buckets_computed": len(pending),
+                "buckets_computed": len(full),
+                "buckets_appended": len(appended),
+                "appended_docs_signed": n_appended_docs,
                 "wall_ms": wall_ms,
                 "empty_docs": n_empty,
             },

@@ -57,6 +57,15 @@ def test_incremental_used_delta_path(incremental_built):
     assert len(delta_rows) >= 1
     assert int(delta_rows.value.iloc[-1]) == N2 - N1
     assert pipe.catalog.count_rows("pairs") > pairs_before
+    # stage 1 must have used the pure-append fast path: one run signed
+    # exactly the appended docs (metrics rows carry no timestamp, so assert
+    # over the value set: the full build contributes 0 to both append keys)
+    sig = metrics[metrics.stage == "signatures"]
+    assert (
+        sig[sig.key == "appended_docs_signed"].value.astype(int).sum()
+        == N2 - N1
+    )
+    assert sig[sig.key == "buckets_appended"].value.astype(int).sum() == CFG.num_buckets
 
 
 def test_edit_falls_back_to_full(spark, tmp_path_factory):
