@@ -139,9 +139,15 @@ def main() -> None:
         )
         pass_counts["pipeline"] += 1
     dedup_sec = sum(v for k, v in timings.items() if k.startswith("dedup_stage"))
-    incremental = (
-        _measure_incremental(spark, cfg, kept, n_docs) if kept else {}
-    )
+    # auxiliary measurement: never let it eat the headline numbers — a
+    # tripped guard or a failure records WHY instead of omitting silently
+    if kept:
+        try:
+            incremental = _measure_incremental(spark, cfg, kept, n_docs)
+        except Exception as e:  # noqa: BLE001
+            incremental = {"incremental_skipped": f"error: {e}"[:200]}
+    else:
+        incremental = {"incremental_skipped": "pipeline guard tripped"}
 
     # ---- contract queries over the sf-dir driver tables
     t0 = time.monotonic()

@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--jaccard", type=float, default=0.6)
     ap.add_argument("--buckets", type=int, default=64)
     args = ap.parse_args(argv)
+    if args.incremental and args.no_resume:
+        ap.error("--incremental requires resume state; drop --no-resume")
 
     from pyspark.sql import SparkSession
 

@@ -77,10 +77,16 @@ def delta_exact(
     among themselves. → (exact_edges(url_a, url_b, jaccard=1.0),
     new_reps(signature rows — one per fresh fp))."""
     joined = new_sigs.join(rep_map, "fp", "left")
-    matched = joined.where(F.col("rep").isNotNull()).select(
-        F.least("rep", "url").alias("url_a"),
-        F.greatest("rep", "url").alias("url_b"),
-        F.lit(1.0).alias("jaccard"),
+    matched = (
+        joined.where(F.col("rep").isNotNull())
+        # belt: a url that somehow already IS the rep (partial prior state)
+        # must not emit a self-edge
+        .where(F.col("rep") != F.col("url"))
+        .select(
+            F.least("rep", "url").alias("url_a"),
+            F.greatest("rep", "url").alias("url_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
     )
     fresh = joined.where(F.col("rep").isNull()).drop("rep")
     fresh_rep = fresh.groupBy("fp").agg(F.min("url").alias("rep"))
@@ -114,11 +120,16 @@ def delta_lsh_candidates(
         .select("url", "band_id", "band_hash")
     )
     members = old_members.union(new_bands.select("url", "band_id", "band_hash"))
+    # materialize once: three consumers (pair expansion, flagged keys,
+    # flagged members) would otherwise re-run the old-side explode +
+    # semi-join per consumer — the same re-execution the full path's bucket
+    # checkpoint exists to kill (pipeline.py stage2_pairs)
     buckets = (
         members.groupBy("band_id", "band_hash")
         .agg(F.collect_list("url").alias("urls"))
         .withColumn("bucket_size", F.size("urls"))
         .where(F.col("bucket_size") >= 2)
+        .localCheckpoint()
     )
     flagged = flagged_buckets(buckets, cfg)
     all_rep_sigs = old_rep_sigs.select("url", "simhash").unionByName(

@@ -74,13 +74,20 @@ def salted_join(
         raise ValueError(f"salted_join supports fact-preserving joins, not {how!r}")
     if "_salt" in fact.columns or "_salt" in dim.columns:
         raise ValueError("inputs must not carry a _salt column")
-    from pyspark.sql.types import MapType
+    from pyspark.sql.types import ArrayType, MapType, StructType
 
-    # xxhash64 rejects MapType inputs; any non-map subset of columns is a
-    # valid (deterministic) spread source
-    hashable = [
-        f.name for f in fact.schema.fields if not isinstance(f.dataType, MapType)
-    ]
+    def _has_map(dt) -> bool:
+        # Spark's hash expressions reject MapType nested at ANY depth
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return _has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(_has_map(f.dataType) for f in dt.fields)
+        return False
+
+    # any map-free subset of columns is a valid (deterministic) spread source
+    hashable = [f.name for f in fact.schema.fields if not _has_map(f.dataType)]
     hot = F.col(key).isin(hot_keys)
     fact_salt = F.when(
         hot, F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salt))

@@ -443,10 +443,24 @@ class NDDPipeline:
         t0 = time.monotonic()
         sigs = cat.read("signatures").select("url", "fp", "bands", "simhash")
         seen = cat.read("seen")
+        # crash-idempotence guard: the delta appends pairs → reps → seen in
+        # that order without an atomic commit; a killed run leaves processed
+        # urls in pairs/reps that `seen` doesn't cover, and retrying the
+        # delta against that partial state would double-append (and the
+        # rep_map could even contain a doc's own fp → self-edges). Any
+        # processed url missing from seen ⇒ partial state ⇒ full rebuild
+        # (overwrite semantics make the full path retry-safe).
+        processed = (
+            cat.read("reps")
+            .select("url")
+            .union(cat.read("pairs").select(F.col("url_a").alias("url")))
+            .union(cat.read("pairs").select(F.col("url_b").alias("url")))
+        )
+        partial = processed.join(seen.select("url"), "url", "left_anti")
         new_sigs, violations = classify_drift(sigs, seen)
         new_sigs = new_sigs.localCheckpoint()
-        if violations.limit(1).count():
-            return False  # edit/delete drift → full path
+        if violations.union(partial).limit(1).count():
+            return False  # edit/delete drift or partial delta → full path
         n_new = new_sigs.count()
         if n_new == 0:
             cat.mark_complete("pairs", h, {-1: cat.count_rows("pairs")}, 0)
@@ -462,6 +476,9 @@ class NDDPipeline:
             cands, self.pages_table(), cfg
         ).localCheckpoint()
         verified = verify_pairs(cands, sets, cfg)
+        # evaluate the flagged metric BEFORE the appends below mutate the
+        # tables its lineage reads from (stale file-listing hazard)
+        n_flagged = flagged.count()
         cat.write(verified.unionByName(exact_edges), "pairs", mode="append")
         cat.write(new_reps.select("url", "fp"), "reps", mode="append")
         cat.write(new_sigs.select("url", "fp"), "seen", mode="append")
@@ -473,7 +490,7 @@ class NDDPipeline:
             {
                 "verified_pairs": n_pairs,
                 "delta_new_docs": n_new,
-                "flagged_buckets": flagged.count(),
+                "flagged_buckets": n_flagged,
                 "wall_ms": wall_ms,
             },
         )

@@ -13,6 +13,27 @@ import os
 
 from pyspark.sql import SparkSession
 
+_WAREHOUSE: str | None = None
+
+
+def _warehouse_dir() -> str:
+    """Unique scratch warehouse per process (memoized — getOrCreate may be
+    called repeatedly but only the first session config takes effect);
+    cleaned up at interpreter exit."""
+    global _WAREHOUSE
+    if _WAREHOUSE is None:
+        env = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+        if env:
+            _WAREHOUSE = env
+        else:
+            import atexit
+            import shutil
+            import tempfile
+
+            _WAREHOUSE = tempfile.mkdtemp(prefix="ndd_warehouse_")
+            atexit.register(shutil.rmtree, _WAREHOUSE, True)
+    return _WAREHOUSE
+
 
 def get_spark(
     app_name: str = "near_duplicate_detection_spark",
@@ -58,14 +79,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # bucketed stage tables (sources/bucketed.py) need a catalog home;
-        # keep it off the repo tree AND per-process (a fixed shared path
-        # would let concurrent runs overwrite each other's saveAsTable dirs)
-        .config(
-            "spark.sql.warehouse.dir",
-            os.environ.get(
-                "SPARK_GRAFT_WAREHOUSE", f"/tmp/ndd_warehouse_{os.getpid()}"
-            ),
-        )
+        # keep it off the repo tree AND unique per process (a fixed shared
+        # path would let concurrent runs overwrite each other's saveAsTable
+        # dirs, and a bare-PID suffix could collide via PID recycling)
+        .config("spark.sql.warehouse.dir", _warehouse_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

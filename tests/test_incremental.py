@@ -12,7 +12,14 @@ from near_duplicate_detection_spark.pipeline import NDDPipeline
 from near_duplicate_detection_spark.sources.pages import generate_pages
 
 CFG = NDDConfig(num_buckets=4)
-N1, N2 = 300, 420  # append cuts a 20-block: cross-boundary dup links exist
+# Chained appends that CUT planted dup structures across the boundary
+# (generator roles: doc%20==1 exact-dups doc-1; %20 in (3,4) near-dup the
+# %20==2 base): 301 leaves doc 300's exact copy (301) to the first append
+# — exercising delta_exact's matched-existing-rep branch — and 305 leaves
+# near-dups 303/304 of old base 302 to it — exercising the old-vs-new LSH
+# band join. A 20-aligned N1 would make every planted pair fall entirely
+# on one side and the equivalence test would pass trivially.
+N1, N_MID, N2 = 301, 305, 420
 
 
 def _partition(clusters_pdf):
@@ -27,6 +34,7 @@ def incremental_built(spark, tmp_path_factory):
     pipe = NDDPipeline(spark, CFG, base)
     pipe.run(generate_pages(spark, N1))
     pairs_before = pipe.catalog.count_rows("pairs")
+    pipe.run_incremental(generate_pages(spark, N_MID))
     clusters = pipe.run_incremental(generate_pages(spark, N2)).toPandas()
     return pipe, clusters, pairs_before
 
@@ -54,18 +62,30 @@ def test_incremental_used_delta_path(incremental_built):
     delta_rows = metrics[
         (metrics.stage == "pairs") & (metrics.key == "delta_new_docs")
     ]
-    assert len(delta_rows) >= 1
-    assert int(delta_rows.value.iloc[-1]) == N2 - N1
+    # two delta runs, together covering every appended doc
+    assert len(delta_rows) == 2
+    assert delta_rows.value.astype(int).sum() == N2 - N1
     assert pipe.catalog.count_rows("pairs") > pairs_before
-    # stage 1 must have used the pure-append fast path: one run signed
-    # exactly the appended docs (metrics rows carry no timestamp, so assert
-    # over the value set: the full build contributes 0 to both append keys)
+    # stage 1 must have used the pure-append fast path: the delta runs
+    # signed exactly the appended docs (metrics rows carry no timestamp, so
+    # assert over value sums: the full build contributes 0 to append keys)
     sig = metrics[metrics.stage == "signatures"]
     assert (
         sig[sig.key == "appended_docs_signed"].value.astype(int).sum()
         == N2 - N1
     )
-    assert sig[sig.key == "buckets_appended"].value.astype(int).sum() == CFG.num_buckets
+    assert sig[sig.key == "buckets_appended"].value.astype(int).sum() > 0
+
+
+def test_cross_boundary_links_present(incremental_built):
+    """The boundary-cut structures must be linked: 301 (appended) with its
+    exact base 300 (old), and 303/304 (appended) with near base 302 (old)."""
+    from near_duplicate_detection_spark.sources.pages import url_of
+
+    _, clusters, _ = incremental_built
+    cl = dict(zip(clusters.url, clusters.cluster_id))
+    assert cl[url_of(300)] == cl[url_of(301)]
+    assert cl[url_of(302)] == cl[url_of(303)] == cl[url_of(304)]
 
 
 def test_edit_falls_back_to_full(spark, tmp_path_factory):
