@@ -158,3 +158,56 @@ def delta_lsh_candidates(
         .dropDuplicates(["url_a", "url_b"])
     )
     return touching, flagged
+
+
+def delta_window_candidates(
+    window_index: DataFrame, new_windows: DataFrame, cfg: NDDConfig
+) -> tuple[DataFrame, DataFrame]:
+    """Stage-2b delta: substring candidates involving ≥1 new doc.
+
+    Mirrors delta_lsh_candidates with the anchored-window hash as the
+    bucket key: old members come from the persisted window_index via a
+    map-side semi-join on the affected hashes (no corpus-wide re-
+    fingerprint), sizes are computed over old+new members so the ceiling
+    sees the TRUE post-append multiplicity, and only pairs touching a new
+    url survive. Same ceiling-crossing caveat as the LSH delta: pairs
+    expanded in earlier runs are kept (recall ≥ full rebuild).
+    → (candidate pairs, flagged(win_hash, bucket_size))."""
+    keys = new_windows.select("win_hash").distinct()
+    old_members = (
+        window_index.join(keys, "win_hash", "left_semi")
+        .select("url", "win_hash")
+    )
+    members = old_members.union(new_windows.select("url", "win_hash"))
+    buckets = (
+        members.groupBy("win_hash")
+        .agg(F.collect_list("url").alias("urls"))
+        .withColumn("bucket_size", F.size("urls"))
+        .where(F.col("bucket_size") >= 2)
+        .localCheckpoint()
+    )
+    flagged = buckets.where(
+        F.col("bucket_size") > cfg.max_bucket_size
+    ).select("win_hash", "bucket_size")
+    from near_duplicate_detection_spark.operators.lsh import _PAIRS_EXPR
+
+    cands = (
+        buckets.where(F.col("bucket_size") <= cfg.max_bucket_size)
+        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .select("p.url_a", "p.url_b")
+        .dropDuplicates(["url_a", "url_b"])
+    )
+    new_urls = new_windows.select("url").distinct()
+    touching = (
+        cands.join(
+            new_urls.withColumnRenamed("url", "url_a"), "url_a", "left_semi"
+        )
+        .select("url_a", "url_b")
+        .union(
+            cands.join(
+                new_urls.withColumnRenamed("url", "url_b"), "url_b", "left_semi"
+            ).select("url_a", "url_b")
+        )
+        .dropDuplicates(["url_a", "url_b"])
+    )
+    return touching, flagged

@@ -142,9 +142,14 @@ def window_fingerprint_fn(cfg: NDDConfig, text_col: str = "text"):
 
 
 def substring_candidates(
-    pages: DataFrame, cfg: NDDConfig, text_col: str = "text"
-) -> tuple[DataFrame, DataFrame]:
-    """→ (pairs(url_a, url_b), flagged(win_hash, bucket_size)).
+    pages: DataFrame,
+    cfg: NDDConfig,
+    text_col: str = "text",
+    return_windows: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
+    """→ (pairs(url_a, url_b), flagged(win_hash, bucket_size))
+    [, windows(url, win_hash) when return_windows — the per-doc fingerprint
+    index the pipeline persists for the delta path].
 
     Two-phase plan: phase 1 shuffles only (win_hash, count) — 16 bytes/row
     with map-side combine — to find the rare multi-doc window hashes; phase 2
@@ -189,6 +194,8 @@ def substring_candidates(
         .select("p.url_a", "p.url_b")
         .dropDuplicates(["url_a", "url_b"])
     )
+    if return_windows:
+        return pairs, flagged, windows
     return pairs, flagged
 
 

@@ -404,6 +404,12 @@ class NDDPipeline:
         # path's drift detector (append vs edit vs delete). At Iceberg scale
         # this is a snapshot id, not a table.
         cat.write(sigs.select("url", "fp"), "seen")
+        # a full stage-2 rewrite (e.g. after an edit) invalidates the 2b
+        # delta state: reps/windows may have changed under seen_2b's cover
+        import shutil as _shutil
+
+        for t in ("window_index", "seen_2b"):
+            _shutil.rmtree(cat.path(t), ignore_errors=True)
         wall_ms = int((time.monotonic() - t0) * 1000)
         n_pairs = cat.count_rows("pairs")
         cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
@@ -509,7 +515,9 @@ class NDDPipeline:
             # substring pass over unique-content representatives only —
             # exact copies are already linked by stage 2's star edges
             pages = pages.join(cat.read("reps"), "url", "left_semi")
-        cands, flagged = substring_candidates(pages, cfg)
+        cands, flagged, windows = substring_candidates(
+            pages, cfg, return_windows=True
+        )
         # pairs already verified by stage 2 don't need the expensive LCS pass
         if cat.exists("pairs"):
             cands = cands.join(
@@ -524,6 +532,11 @@ class NDDPipeline:
         cands = cands.localCheckpoint()
         hits = verify_substring_pairs(cands, pages, cfg)
         cat.write(hits, "substring_pairs")
+        # delta-path state: the per-doc window fingerprint index + the set
+        # of urls this pass covered (appended docs delta against these, the
+        # same seen convention as stage 2)
+        cat.write(windows, "window_index")
+        cat.write(pages.select("url"), "seen_2b")
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("substring_pairs")
         cat.mark_complete("substring_pairs", h, {-1: n}, wall_ms)
@@ -537,6 +550,94 @@ class NDDPipeline:
                 "wall_ms": wall_ms,
             },
         )
+
+    def stage2b_delta(self) -> bool:
+        """Append-only incremental stage 2b: new reps' anchored windows probe
+        the persisted window_index (operators/delta.py
+        delta_window_candidates) instead of re-fingerprinting the corpus.
+        Returns True if the delta ran (or nothing changed); False when there
+        is no valid delta state — caller runs the full stage2b_substring.
+        The full stage-2 path wipes window_index/seen_2b, so an edit/delete
+        rebuild can never leave stale 2b delta state behind."""
+        from near_duplicate_detection_spark.operators.delta import (
+            delta_window_candidates,
+        )
+        from near_duplicate_detection_spark.operators.substring import (
+            DOC_WINDOWS_SCHEMA,
+            window_fingerprint_fn,
+        )
+
+        cfg, cat = self.cfg, self.catalog
+        h = self.stage2b_run_hash()
+        if cat.completed_partitions("substring_pairs", h):
+            return True
+        if not (
+            cat.exists("window_index")
+            and cat.exists("seen_2b")
+            and cat.exists("substring_pairs")
+            and cat.exists("reps")
+        ):
+            return False
+        t0 = time.monotonic()
+        reps = cat.read("reps").select("url")
+        seen = cat.read("seen_2b")
+        # crash-idempotence + shrink guard (same convention as stage 2):
+        # window_index urls or substring-pair urls not covered by seen_2b ⇒
+        # partial prior append; seen_2b urls no longer reps ⇒ rewrite drift
+        sp = cat.read("substring_pairs")
+        covered = (
+            cat.read("window_index")
+            .select("url")
+            .union(sp.select(F.col("url_a").alias("url")))
+            .union(sp.select(F.col("url_b").alias("url")))
+        )
+        partial = covered.join(seen, "url", "left_anti")
+        shrunk = seen.join(reps, "url", "left_anti")
+        if partial.union(shrunk).limit(1).count():
+            return False
+        new_urls = reps.join(seen, "url", "left_anti").localCheckpoint()
+        n_new = new_urls.count()
+        if n_new == 0:
+            cat.mark_complete(
+                "substring_pairs", h, {-1: cat.count_rows("substring_pairs")}, 0
+            )
+            return True
+        new_pages = self.pages_table().join(new_urls, "url", "left_semi")
+        new_windows = (
+            new_pages.select("url", "text")
+            .mapInPandas(window_fingerprint_fn(cfg), DOC_WINDOWS_SCHEMA)
+            .select("url", F.explode("win_hashes").alias("win_hash"))
+            .localCheckpoint()
+        )
+        cands, flagged = delta_window_candidates(
+            cat.read("window_index"), new_windows, cfg
+        )
+        # already-verified pairs (stage 2 or earlier 2b runs) skip the LCS
+        for prior in ("pairs", "substring_pairs"):
+            cands = cands.join(
+                cat.read(prior).select("url_a", "url_b"),
+                ["url_a", "url_b"],
+                "left_anti",
+            )
+        cands = cands.localCheckpoint()
+        hits = verify_substring_pairs(cands, self.pages_table(), cfg)
+        n_flagged = flagged.count()
+        cat.write(hits, "substring_pairs", mode="append")
+        cat.write(new_windows, "window_index", mode="append")
+        cat.write(new_urls, "seen_2b", mode="append")
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        n = cat.count_rows("substring_pairs")
+        cat.mark_complete("substring_pairs", h, {-1: n}, wall_ms)
+        cat.add_metrics(
+            "substring_pairs",
+            {
+                "substring_pairs": n,
+                "delta_new_docs": n_new,
+                "flagged_window_buckets": n_flagged,
+                "wall_ms": wall_ms,
+            },
+        )
+        return True
 
     # ---------- stage 3 ----------
 
@@ -637,7 +738,8 @@ class NDDPipeline:
         if not self.stage2_pairs_delta():
             self.stage2_pairs(resume=True)
         if substring_pass:
-            self.stage2b_substring(resume=True)
+            if not self.stage2b_delta():
+                self.stage2b_substring(resume=True)
         self.stage3_clusters(resume=True)
         return self.catalog.read("clusters")
 

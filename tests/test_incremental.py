@@ -12,14 +12,16 @@ from near_duplicate_detection_spark.pipeline import NDDPipeline
 from near_duplicate_detection_spark.sources.pages import generate_pages
 
 CFG = NDDConfig(num_buckets=4)
-# Chained appends that CUT planted dup structures across the boundary
+# Chained appends that CUT planted dup structures across boundaries
 # (generator roles: doc%20==1 exact-dups doc-1; %20 in (3,4) near-dup the
-# %20==2 base): 301 leaves doc 300's exact copy (301) to the first append
-# — exercising delta_exact's matched-existing-rep branch — and 305 leaves
-# near-dups 303/304 of old base 302 to it — exercising the old-vs-new LSH
-# band join. A 20-aligned N1 would make every planted pair fall entirely
-# on one side and the equivalence test would pass trivially.
-N1, N_MID, N2 = 301, 305, 420
+# %20==2 base; %50 in (6,7) substring pair): build at 301 leaves doc 300's
+# exact copy (301) to append #1 (delta_exact matched-existing-rep branch);
+# append to 304 leaves near-dup 304 of the now-old 302/303 group to append
+# #2 (old-vs-new LSH band join); append to 307 leaves substring partner 307
+# of the now-old 306 to append #3 (old-vs-new window join in the 2b delta).
+# A 20/50-aligned boundary would make every planted pair fall entirely on
+# one side and the equivalence test would pass trivially.
+N1, N_MIDS, N2 = 301, (304, 307), 420
 
 
 def _partition(clusters_pdf):
@@ -34,7 +36,8 @@ def incremental_built(spark, tmp_path_factory):
     pipe = NDDPipeline(spark, CFG, base)
     pipe.run(generate_pages(spark, N1))
     pairs_before = pipe.catalog.count_rows("pairs")
-    pipe.run_incremental(generate_pages(spark, N_MID))
+    for n_mid in N_MIDS:
+        pipe.run_incremental(generate_pages(spark, n_mid))
     clusters = pipe.run_incremental(generate_pages(spark, N2)).toPandas()
     return pipe, clusters, pairs_before
 
@@ -62,9 +65,14 @@ def test_incremental_used_delta_path(incremental_built):
     delta_rows = metrics[
         (metrics.stage == "pairs") & (metrics.key == "delta_new_docs")
     ]
-    # two delta runs, together covering every appended doc
-    assert len(delta_rows) == 2
+    # three delta runs, together covering every appended doc
+    assert len(delta_rows) == 3
     assert delta_rows.value.astype(int).sum() == N2 - N1
+    # stage 2b must also have gone through its delta path
+    sp_delta = metrics[
+        (metrics.stage == "substring_pairs") & (metrics.key == "delta_new_docs")
+    ]
+    assert len(sp_delta) == 3
     assert pipe.catalog.count_rows("pairs") > pairs_before
     # stage 1 must have used the pure-append fast path: the delta runs
     # signed exactly the appended docs (metrics rows carry no timestamp, so
@@ -86,6 +94,9 @@ def test_cross_boundary_links_present(incremental_built):
     cl = dict(zip(clusters.url, clusters.cluster_id))
     assert cl[url_of(300)] == cl[url_of(301)]
     assert cl[url_of(302)] == cl[url_of(303)] == cl[url_of(304)]
+    # substring pair cut by the 307 boundary (306 old, 307 appended):
+    # linked by the 2b delta's old-vs-new window join
+    assert cl[url_of(306)] == cl[url_of(307)]
 
 
 def test_edit_falls_back_to_full(spark, tmp_path_factory):
