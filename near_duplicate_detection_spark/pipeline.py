@@ -727,11 +727,13 @@ class NDDPipeline:
         pages: DataFrame | None = None,
         substring_pass: bool = True,
     ) -> DataFrame:
-        """Append-optimized build: stages 0/1 resume per drifted bucket (as
-        always), stage 2 runs the DELTA path when the drift is append-only
-        (falling back to the full rebuild on edits/deletions), stages 2b/3
-        re-run over the updated state. `pages` is the FULL current snapshot
-        (same contract as run()); the appended docs are inferred."""
+        """Append-optimized build: stage 0 refreshes drifted buckets, stage
+        1 signs only provably-appended docs (pure-append checksum algebra),
+        stages 2 and 2b run their DELTA paths when the drift is append-only
+        (falling back to the full rebuild on edits/deletions or missing
+        delta state), stage 3 re-clusters the updated edge set. `pages` is
+        the FULL current snapshot (same contract as run()); the appended
+        docs are inferred."""
         if pages is not None:
             self.stage0_ingest(pages, resume=True)
         self.stage1_signatures(resume=True)
