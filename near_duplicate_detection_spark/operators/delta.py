@@ -65,6 +65,23 @@ def classify_drift(
     return new_sigs, removed.union(edited)
 
 
+def pairs_touching(cands: DataFrame, new_urls: DataFrame) -> DataFrame:
+    """Pairs with ≥1 side in new_urls (canonical column order preserved —
+    equi-joins move keys to the front, so each branch re-selects)."""
+    return (
+        cands.join(
+            new_urls.withColumnRenamed("url", "url_a"), "url_a", "left_semi"
+        )
+        .select("url_a", "url_b")
+        .union(
+            cands.join(
+                new_urls.withColumnRenamed("url", "url_b"), "url_b", "left_semi"
+            ).select("url_a", "url_b")
+        )
+        .dropDuplicates(["url_a", "url_b"])
+    )
+
+
 def delta_exact(
     new_sigs: DataFrame, rep_map: DataFrame
 ) -> tuple[DataFrame, DataFrame]:
@@ -144,19 +161,7 @@ def delta_lsh_candidates(
         )
         .dropDuplicates(["url_a", "url_b"])
     )
-    new_urls = new_reps.select("url")
-    touching = (
-        cands.join(
-            new_urls.withColumnRenamed("url", "url_a"), "url_a", "left_semi"
-        )
-        .select("url_a", "url_b")
-        .union(
-            cands.join(
-                new_urls.withColumnRenamed("url", "url_b"), "url_b", "left_semi"
-            ).select("url_a", "url_b")
-        )
-        .dropDuplicates(["url_a", "url_b"])
-    )
+    touching = pairs_touching(cands, new_reps.select("url"))
     return touching, flagged
 
 
@@ -189,25 +194,6 @@ def delta_window_candidates(
     flagged = buckets.where(
         F.col("bucket_size") > cfg.max_bucket_size
     ).select("win_hash", "bucket_size")
-    from near_duplicate_detection_spark.operators.lsh import _PAIRS_EXPR
-
-    cands = (
-        buckets.where(F.col("bucket_size") <= cfg.max_bucket_size)
-        .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-        .select("p.url_a", "p.url_b")
-        .dropDuplicates(["url_a", "url_b"])
-    )
-    new_urls = new_windows.select("url").distinct()
-    touching = (
-        cands.join(
-            new_urls.withColumnRenamed("url", "url_a"), "url_a", "left_semi"
-        )
-        .select("url_a", "url_b")
-        .union(
-            cands.join(
-                new_urls.withColumnRenamed("url", "url_b"), "url_b", "left_semi"
-            ).select("url_a", "url_b")
-        )
-        .dropDuplicates(["url_a", "url_b"])
-    )
+    cands = pairs_from_buckets(buckets, cfg)
+    touching = pairs_touching(cands, new_windows.select("url").distinct())
     return touching, flagged

@@ -396,20 +396,29 @@ class NDDPipeline:
             cands, self.pages_table(), cfg
         ).localCheckpoint()
         verified = verify_pairs(cands, sets, cfg)
-        cat.write(verified.unionByName(exact_edges), "pairs")
-        # reps carries fp → it doubles as the exact-group rep_map the delta
-        # path joins appended docs against (operators/delta.py)
-        cat.write(reps.select("url", "fp"), "reps")
-        # `seen` = the (url, fp) snapshot this stage processed — the delta
-        # path's drift detector (append vs edit vs delete). At Iceberg scale
-        # this is a snapshot id, not a table.
-        cat.write(sigs.select("url", "fp"), "seen")
         # a full stage-2 rewrite (e.g. after an edit) invalidates the 2b
-        # delta state: reps/windows may have changed under seen_2b's cover
+        # delta state (reps/windows may change under seen_2b's cover) —
+        # wipe it BEFORE the writes below: a crash mid-rewrite must leave
+        # the conservative state (missing ⇒ 2b falls back to full), never
+        # stale-but-plausible state
         import shutil as _shutil
 
         for t in ("window_index", "seen_2b"):
             _shutil.rmtree(cat.path(t), ignore_errors=True)
+        cat.write(verified.unionByName(exact_edges), "pairs")
+        # reps carries fp → it doubles as the exact-group rep_map the delta
+        # path joins appended docs against (operators/delta.py)
+        cat.write(reps.select("url", "fp"), "reps")
+        # `seen` = the (url, fp) snapshot this stage processed, stamped with
+        # the stage-2 PARAM hash so the delta path can reject state built
+        # under different parameters. At Iceberg scale this is a snapshot
+        # id + table property, not a table.
+        cat.write(
+            sigs.select("url", "fp").withColumn(
+                "cfg_hash", F.lit(cfg.stage2_hash())
+            ),
+            "seen",
+        )
         wall_ms = int((time.monotonic() - t0) * 1000)
         n_pairs = cat.count_rows("pairs")
         cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
@@ -448,7 +457,19 @@ class NDDPipeline:
             return False  # no prior full run to delta against
         t0 = time.monotonic()
         sigs = cat.read("signatures").select("url", "fp", "bands", "simhash")
-        seen = cat.read("seen")
+        seen_raw = cat.read("seen")
+        # param-drift guard: delta state built under DIFFERENT stage-2
+        # params must not be extended or re-committed (a param change with
+        # zero appended docs would otherwise mark the stale pairs complete
+        # under the new hash)
+        stamp = (
+            seen_raw.select("cfg_hash").first()
+            if "cfg_hash" in seen_raw.columns
+            else None
+        )
+        if stamp is None or stamp[0] != cfg.stage2_hash():
+            return False
+        seen = seen_raw.select("url", "fp")
         # crash-idempotence guard: the delta appends pairs → reps → seen in
         # that order without an atomic commit; a killed run leaves processed
         # urls in pairs/reps that `seen` doesn't cover, and retrying the
@@ -487,7 +508,13 @@ class NDDPipeline:
         n_flagged = flagged.count()
         cat.write(verified.unionByName(exact_edges), "pairs", mode="append")
         cat.write(new_reps.select("url", "fp"), "reps", mode="append")
-        cat.write(new_sigs.select("url", "fp"), "seen", mode="append")
+        cat.write(
+            new_sigs.select("url", "fp").withColumn(
+                "cfg_hash", F.lit(cfg.stage2_hash())
+            ),
+            "seen",
+            mode="append",
+        )
         wall_ms = int((time.monotonic() - t0) * 1000)
         n_pairs = cat.count_rows("pairs")
         cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
@@ -534,9 +561,19 @@ class NDDPipeline:
         cat.write(hits, "substring_pairs")
         # delta-path state: the per-doc window fingerprint index + the set
         # of urls this pass covered (appended docs delta against these, the
-        # same seen convention as stage 2)
+        # same seen convention as stage 2). Coverage = the reps table when
+        # it exists (equal to the pruned pages' urls, already materialized
+        # and tiny — no second corpus scan), stamped with the 2b PARAM hash
+        # so the delta can reject state built under other parameters.
         cat.write(windows, "window_index")
-        cat.write(pages.select("url"), "seen_2b")
+        covered = (
+            cat.read("reps").select("url")
+            if cat.exists("reps")
+            else pages.select("url")
+        )
+        cat.write(
+            covered.withColumn("cfg_hash", F.lit(cfg.stage2b_hash())), "seen_2b"
+        )
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("substring_pairs")
         cat.mark_complete("substring_pairs", h, {-1: n}, wall_ms)
@@ -580,7 +617,16 @@ class NDDPipeline:
             return False
         t0 = time.monotonic()
         reps = cat.read("reps").select("url")
-        seen = cat.read("seen_2b")
+        seen_raw = cat.read("seen_2b")
+        # param-drift guard (same convention as stage 2's delta)
+        stamp = (
+            seen_raw.select("cfg_hash").first()
+            if "cfg_hash" in seen_raw.columns
+            else None
+        )
+        if stamp is None or stamp[0] != cfg.stage2b_hash():
+            return False
+        seen = seen_raw.select("url")
         # crash-idempotence + shrink guard (same convention as stage 2):
         # window_index urls or substring-pair urls not covered by seen_2b ⇒
         # partial prior append; seen_2b urls no longer reps ⇒ rewrite drift
@@ -624,7 +670,11 @@ class NDDPipeline:
         n_flagged = flagged.count()
         cat.write(hits, "substring_pairs", mode="append")
         cat.write(new_windows, "window_index", mode="append")
-        cat.write(new_urls, "seen_2b", mode="append")
+        cat.write(
+            new_urls.withColumn("cfg_hash", F.lit(cfg.stage2b_hash())),
+            "seen_2b",
+            mode="append",
+        )
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("substring_pairs")
         cat.mark_complete("substring_pairs", h, {-1: n}, wall_ms)

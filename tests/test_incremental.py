@@ -127,3 +127,23 @@ def test_noop_incremental_is_cheap(spark, tmp_path_factory):
     n_pairs = pipe.catalog.count_rows("pairs")
     pipe.run_incremental(generate_pages(spark, 120))
     assert pipe.catalog.count_rows("pairs") == n_pairs
+
+
+def test_param_change_rejects_delta_state(spark, tmp_path_factory):
+    """Delta state built under different stage-2/2b params must be rejected
+    even with ZERO appended docs (the n_new==0 early-commit would otherwise
+    bless stale results under the new hash)."""
+    base = str(tmp_path_factory.mktemp("ndd_param"))
+    pipe = NDDPipeline(spark, CFG, base)
+    pipe.run(generate_pages(spark, 100))
+    changed = NDDPipeline(
+        spark,
+        NDDConfig(num_buckets=4, jaccard_threshold=0.5, substring_min_len=400),
+        base,
+    )
+    assert changed.stage2_pairs_delta() is False
+    assert changed.stage2b_delta() is False
+    # same params → both deltas accept (and no-op cleanly)
+    again = NDDPipeline(spark, CFG, base)
+    assert again.stage2_pairs_delta() is True
+    assert again.stage2b_delta() is True
