@@ -147,3 +147,17 @@ def test_param_change_rejects_delta_state(spark, tmp_path_factory):
     again = NDDPipeline(spark, CFG, base)
     assert again.stage2_pairs_delta() is True
     assert again.stage2b_delta() is True
+
+
+def test_delete_falls_back_to_full(spark, tmp_path_factory):
+    """A shrunken snapshot (vanished docs) violates the append-only premise:
+    the delta must refuse and the full path must drop the vanished urls."""
+    base = str(tmp_path_factory.mktemp("ndd_del"))
+    pipe = NDDPipeline(spark, CFG, base)
+    pipe.run(generate_pages(spark, 120))
+    smaller = generate_pages(spark, 90)
+    pipe.stage0_ingest(smaller, resume=True)
+    pipe.stage1_signatures(resume=True)
+    assert pipe.stage2_pairs_delta() is False
+    clusters = pipe.run_incremental(smaller).toPandas()
+    assert len(clusters) == 90
