@@ -43,6 +43,7 @@ def _run_pipeline(
     from near_duplicate_detection_spark.sources.pages import generate_pages
 
     base = tempfile.mkdtemp(prefix="ndd_bench_")
+    ok = False
     try:
         pipe = NDDPipeline(spark, cfg, base)
         for key, step in (
@@ -57,9 +58,11 @@ def _run_pipeline(
             step()
             dt = round(time.monotonic() - t0, 3)
             timings[key] = min(timings.get(key, dt), dt)
+        ok = True
         return base if keep else None
     finally:
-        if not keep:
+        # keep=True passes must still clean up after a mid-stage failure
+        if not (keep and ok):
             shutil.rmtree(base, ignore_errors=True)
 
 

@@ -86,8 +86,16 @@ def salted_join(
             return any(_has_map(f.dataType) for f in dt.fields)
         return False
 
-    # any map-free subset of columns is a valid (deterministic) spread source
+    # any map-free subset of columns is a valid (deterministic) spread source;
+    # the join key itself can never be a map, so this is non-empty whenever
+    # `key` is a real column — guard anyway for a clear error over the opaque
+    # zero-arg xxhash64 analysis failure
     hashable = [f.name for f in fact.schema.fields if not _has_map(f.dataType)]
+    if not hashable:
+        raise ValueError(
+            "salted_join: every fact column is (or nests) a MapType — no "
+            "hashable column to derive the salt from"
+        )
     hot = F.col(key).isin(hot_keys)
     fact_salt = F.when(
         hot, F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n_salt))

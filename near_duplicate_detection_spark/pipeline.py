@@ -54,6 +54,13 @@ from near_duplicate_detection_spark.operators.verify import (
 )
 
 
+def _wrap64(x: int) -> int:
+    """Wrap an arbitrary-precision int to signed 64-bit (mod 2^64) — the
+    driver-side half of the decimal-accumulated checksum algebra."""
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
 class NDDPipeline:
     def __init__(self, spark: SparkSession, cfg: NDDConfig, base_dir: str):
         self.spark = spark
@@ -67,20 +74,36 @@ class NDDPipeline:
 
     def _input_stats(self, pages: DataFrame) -> dict[int, tuple[int, int]]:
         """Per-bucket (rows, content checksum) of an input snapshot — ONE
-        aggregation scan. The checksum hashes (url, text), so edits, appends
-        AND deletes all shift the bucket's stats (the reference's content
-        version string per videoid, ndd/extract_images.py:166-178, as a
-        distributed aggregate)."""
+        aggregation scan. The checksum sums the full 64-bit xxhash64 of
+        (url, text) mod 2^64, so edits, appends AND deletes all shift the
+        bucket's stats (the reference's content version string per videoid,
+        ndd/extract_images.py:166-178, as a distributed aggregate).
+
+        Collision bound: two snapshots of a bucket share (rows, checksum)
+        only if their multiset hash sums collide — 2^-64 per bucket for
+        random drift (the sum is over the full 64-bit hash; accumulated in
+        decimal(38,0) because ANSI mode rejects wrap-around bigint sums,
+        then wrapped back to mod-2^64 driver-side so the append-delta
+        subtraction algebra in stage 1 stays exact). An adversary
+        controlling page text would need a 2^64-work multiset-sum collision
+        — impractical, and crawl pipelines don't face adversarial inputs at
+        that precision. (Round-2 used the top 32 bits only: 2^-32.)"""
         rows = (
             pages.select(
                 self._bucket_expr().alias("bucket"),
-                F.shiftrightunsigned(F.xxhash64("url", "text"), 32).alias("h"),
+                F.xxhash64("url", "text").alias("h"),
             )
             .groupBy("bucket")
-            .agg(F.count("*").alias("rows"), F.sum("h").alias("checksum"))
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("checksum"),
+            )
             .collect()
         )
-        return {int(r["bucket"]): (int(r["rows"]), int(r["checksum"])) for r in rows}
+        return {
+            int(r["bucket"]): (int(r["rows"]), _wrap64(int(r["checksum"])))
+            for r in rows
+        }
 
     def stage0_ingest(self, pages: DataFrame, resume: bool = True) -> None:
         """Materialize the input as the catalog's `pages` table, partitioned
@@ -214,7 +237,7 @@ class NDDPipeline:
                     "url",
                     "text",
                     "bucket",
-                    F.shiftrightunsigned(F.xxhash64("url", "text"), 32).alias("h"),
+                    F.xxhash64("url", "text").alias("h"),
                 )
             )
             new_docs = cand_pages.join(
@@ -225,15 +248,18 @@ class NDDPipeline:
                 "left_anti",
             ).localCheckpoint()
             delta_stats = {
-                int(r["bucket"]): (int(r["rows"]), int(r["cks"]))
+                int(r["bucket"]): (int(r["rows"]), _wrap64(int(r["cks"])))
                 for r in new_docs.groupBy("bucket")
-                .agg(F.count("*").alias("rows"), F.sum("h").alias("cks"))
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.sum(F.col("h").cast("decimal(38,0)")).alias("cks"),
+                )
                 .collect()
             }
             for b in append_cand:
                 want = (
                     pages_stats[b][0] - sig_stats[b][0],
-                    pages_stats[b][1] - sig_stats[b][1],
+                    _wrap64(pages_stats[b][1] - sig_stats[b][1]),
                 )
                 if delta_stats.get(b) == want:
                     appended.add(b)
@@ -708,22 +734,25 @@ class NDDPipeline:
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("clusters")
         cat.mark_complete("clusters", h, {-1: n}, wall_ms)
-        # metrics nicety, off the critical path: a driver-side value_counts
-        # over the written cluster_id column (pyarrow) — no Spark job. At
-        # cluster scale this metric would be a groupBy in the stage 3 job.
-        import pyarrow.dataset as pads
-
-        ids = (
-            pads.dataset(cat.path("clusters"), format="parquet")
-            .to_table(columns=["cluster_id"])
-            .column("cluster_id")
-        )
-        n_multi = int(
-            (ids.value_counts().field("counts").to_numpy() > 1).sum()
-        )
         cat.add_metrics(
             "clusters",
-            {"rows": n, "multi_doc_clusters": n_multi, "wall_ms": wall_ms},
+            {
+                "rows": n,
+                "multi_doc_clusters": self._multi_doc_clusters(),
+                "wall_ms": wall_ms,
+            },
+        )
+
+    def _multi_doc_clusters(self) -> int:
+        """Count of clusters with ≥2 members — a distributed groupBy over the
+        written clusters table (off the stage's critical path, after the
+        commit; never a corpus-proportional driver-side column pull)."""
+        return (
+            self.catalog.read("clusters")
+            .groupBy("cluster_id")
+            .count()
+            .where(F.col("count") > 1)
+            .count()
         )
 
     # ---------- targeted re-index ----------
@@ -866,7 +895,12 @@ def query_top_k(
     clusters = catalog.read("clusters").select("url", "cluster_id")
     from pyspark.sql import Window as W
 
-    w = W.partitionBy("cluster_id").orderBy(F.desc("jaccard"), F.asc("url"))
+    # candidates missing from a stale/mid-rebuild clusters table must each
+    # form their OWN dedup group — partitioning on a raw NULL cluster_id
+    # would collapse all of them into one group and keep a single hit
+    w = W.partitionBy(F.coalesce("cluster_id", F.col("url"))).orderBy(
+        F.desc("jaccard"), F.asc("url")
+    )
     return (
         scored.join(clusters, "url", "left")
         .withColumn("rn", F.row_number().over(w))
@@ -947,9 +981,11 @@ def query_top_k_batch(
         .select("query_id", "url", "jaccard")
     )
     clusters = catalog.read("clusters").select("url", "cluster_id")
-    w_cluster = W.partitionBy("query_id", "cluster_id").orderBy(
-        F.desc("jaccard"), F.asc("url")
-    )
+    # same unclustered-candidate rule as query_top_k: NULL cluster_id rows
+    # each keep their own group rather than sharing one NULL partition
+    w_cluster = W.partitionBy(
+        "query_id", F.coalesce("cluster_id", F.col("url"))
+    ).orderBy(F.desc("jaccard"), F.asc("url"))
     w_rank = W.partitionBy("query_id").orderBy(F.desc("jaccard"), F.asc("url"))
     return (
         scored.join(clusters, "url", "left")
