@@ -191,9 +191,9 @@ def delta_window_candidates(
         .where(F.col("bucket_size") >= 2)
         .localCheckpoint()
     )
-    flagged = buckets.where(
-        F.col("bucket_size") > cfg.max_bucket_size
-    ).select("win_hash", "bucket_size")
+    from near_duplicate_detection_spark.operators.lsh import over_ceiling
+
+    flagged = buckets.where(over_ceiling(cfg)).select("win_hash", "bucket_size")
     cands = pairs_from_buckets(buckets, cfg)
     touching = pairs_touching(cands, new_windows.select("url").distinct())
     return touching, flagged

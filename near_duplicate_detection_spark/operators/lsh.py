@@ -71,6 +71,19 @@ def exact_groups(signatures: DataFrame) -> tuple[DataFrame, DataFrame]:
     return exact_edges, reps
 
 
+def over_ceiling(cfg: NDDConfig, size_col: str = "bucket_size"):
+    """Boolean column: bucket exceeds EITHER skew limit — member count above
+    ``max_bucket_size`` or pair expansion C(size, 2) above
+    ``bucket_pair_ceiling``. Both knobs gate the quadratic pair blow-up; the
+    pair ceiling binds first when max_bucket_size is raised (C(2001,2) ≈ 2M).
+    Every consumer (expansion, flagging, fallback routing, 2b window buckets,
+    delta paths) uses THIS predicate so no bucket is silently dropped."""
+    bs = F.col(size_col).cast("bigint")
+    return (bs > cfg.max_bucket_size) | (
+        bs * (bs - 1) > 2 * cfg.bucket_pair_ceiling
+    )
+
+
 def band_buckets(signatures: DataFrame, cfg: NDDConfig) -> DataFrame:
     """All multi-member LSH buckets: (band_id, band_hash, urls, bucket_size)."""
     return (
@@ -83,7 +96,7 @@ def band_buckets(signatures: DataFrame, cfg: NDDConfig) -> DataFrame:
 
 
 def flagged_buckets(buckets: DataFrame, cfg: NDDConfig) -> DataFrame:
-    return buckets.where(F.col("bucket_size") > cfg.max_bucket_size).select(
+    return buckets.where(over_ceiling(cfg)).select(
         "band_id", "band_hash", "bucket_size"
     )
 
@@ -96,7 +109,7 @@ def pairs_from_buckets(
     dedup=False defers the distinct shuffle to the caller — the pipeline
     unions these with the SimHash fallback pairs and dedups ONCE."""
     out = (
-        buckets.where(F.col("bucket_size") <= cfg.max_bucket_size)
+        buckets.where(~over_ceiling(cfg))
         .select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
         .select("p.url_a", "p.url_b")
     )
@@ -123,7 +136,7 @@ def flagged_members(buckets: DataFrame, cfg: NDDConfig) -> DataFrame:
     round-1 shape) costs a full corpus-wide explode+shuffle even when
     NOTHING is flagged."""
     return (
-        buckets.where(F.col("bucket_size") > cfg.max_bucket_size)
+        buckets.where(over_ceiling(cfg))
         .select(F.explode("urls").alias("url"))
         .distinct()
     )

@@ -180,12 +180,13 @@ def substring_candidates(
     counts = (
         windows.groupBy("win_hash").count().where(F.col("count") >= 2)
     ).localCheckpoint()
-    flagged = counts.where(F.col("count") > cfg.max_bucket_size).select(
+    # same dual skew limit as the LSH buckets (size cap + pair-count ceiling)
+    from near_duplicate_detection_spark.operators.lsh import over_ceiling
+
+    flagged = counts.where(over_ceiling(cfg, "count")).select(
         "win_hash", F.col("count").alias("bucket_size")
     )
-    ok_hashes = counts.where(F.col("count") <= cfg.max_bucket_size).select(
-        "win_hash"
-    )
+    ok_hashes = counts.where(~over_ceiling(cfg, "count")).select("win_hash")
     pairs = (
         windows.join(F.broadcast(ok_hashes), "win_hash")
         .groupBy("win_hash")

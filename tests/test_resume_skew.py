@@ -128,6 +128,28 @@ def test_skew_ceiling_flags_and_fallback_links(spark, boilerplate_sigs):
     assert {f"u{i:03d}" for i in range(30)} <= members
 
 
+def test_pair_ceiling_flags_independently_of_size_cap(spark, boilerplate_sigs):
+    """bucket_pair_ceiling must bind on its own: with the size cap far above
+    the 30-member boilerplate buckets but the pair ceiling below C(30,2),
+    the buckets are flagged, pair expansion skips them, and the SimHash
+    fallback routes their members (the round-2 dead-knob fix)."""
+    sigs = boilerplate_sigs.localCheckpoint()
+    _exact, reps = exact_groups(sigs)
+    loose = NDDConfig(max_bucket_size=2_000)  # default ceiling: nothing flags
+    pairs_loose, flagged_loose = candidate_pairs(reps, loose)
+    assert flagged_loose.count() == 0
+    n_loose = pairs_loose.count()
+    assert n_loose > 0
+    tight = NDDConfig(max_bucket_size=2_000, bucket_pair_ceiling=100)
+    pairs_tight, flagged_tight = candidate_pairs(reps, tight)
+    assert flagged_tight.count() > 0, "pair ceiling did not flag"
+    assert pairs_tight.count() < n_loose, "pair ceiling did not gate expansion"
+    fb = simhash_fallback_pairs(
+        reps, flagged_tight.localCheckpoint(), tight
+    ).toPandas()
+    assert 0 < len(fb) <= 29  # linear star, not quadratic
+
+
 def test_exact_groups_star_not_quadratic(spark):
     """200 exact copies → 199 star edges + 1 representative (not 19900 pairs)."""
     pdf = pd.DataFrame(
