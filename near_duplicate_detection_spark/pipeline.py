@@ -376,6 +376,12 @@ class NDDPipeline:
             self.cfg.stage3_hash() + "|" + self.stage2_run_hash() + "|" + s2b
         )
 
+    # stage-3 append log: edges/docs appended by the stage-2/2b delta paths
+    # since the last committed clusters build. Any FULL stage-2/2b rewrite
+    # wipes it (the rebuilt edge set supersedes the log), and stage 3 wipes
+    # it on commit (consumed). Missing log ⇒ stage 3 runs full.
+    _STAGE3_LOG_TABLES = ("edges_new", "urls_new", "urls_retracted")
+
     # ---------- stage 2 ----------
 
     def stage2_pairs(self, resume: bool = True) -> None:
@@ -423,13 +429,14 @@ class NDDPipeline:
         ).localCheckpoint()
         verified = verify_pairs(cands, sets, cfg)
         # a full stage-2 rewrite (e.g. after an edit) invalidates the 2b
-        # delta state (reps/windows may change under seen_2b's cover) —
-        # wipe it BEFORE the writes below: a crash mid-rewrite must leave
-        # the conservative state (missing ⇒ 2b falls back to full), never
-        # stale-but-plausible state
+        # delta state (reps/windows may change under seen_2b's cover) AND
+        # the stage-3 append log (the rebuilt edge set supersedes it; stage
+        # 3 must run full) — wipe both BEFORE the writes below: a crash
+        # mid-rewrite must leave the conservative state (missing ⇒ delta
+        # consumers fall back to full), never stale-but-plausible state
         import shutil as _shutil
 
-        for t in ("window_index", "seen_2b"):
+        for t in ("window_index", "seen_2b", *self._STAGE3_LOG_TABLES):
             _shutil.rmtree(cat.path(t), ignore_errors=True)
         cat.write(verified.unionByName(exact_edges), "pairs")
         # reps carries fp → it doubles as the exact-group rep_map the delta
@@ -529,10 +536,21 @@ class NDDPipeline:
             cands, self.pages_table(), cfg
         ).localCheckpoint()
         verified = verify_pairs(cands, sets, cfg)
+        # materialize the appended pairs ONCE: two writes consume them
+        # (edges_new log, pairs append) and the verify join must not re-run
+        appended_pairs = verified.unionByName(exact_edges).localCheckpoint()
         # evaluate the flagged metric BEFORE the appends below mutate the
         # tables its lineage reads from (stale file-listing hazard)
         n_flagged = flagged.count()
-        cat.write(verified.unionByName(exact_edges), "pairs", mode="append")
+        # stage-3 append log FIRST: a crash between the log write and the
+        # pairs append leaves an over-complete log (retry re-appends → the
+        # log dedups on read) — the reverse order could commit pairs whose
+        # edges the log never saw, and stage 3's delta would miss them
+        cat.write(
+            appended_pairs.select("url_a", "url_b"), "edges_new", mode="append"
+        )
+        cat.write(new_sigs.select("url"), "urls_new", mode="append")
+        cat.write(appended_pairs, "pairs", mode="append")
         cat.write(new_reps.select("url", "fp"), "reps", mode="append")
         cat.write(
             new_sigs.select("url", "fp").withColumn(
@@ -568,6 +586,14 @@ class NDDPipeline:
             # substring pass over unique-content representatives only —
             # exact copies are already linked by stage 2's star edges
             pages = pages.join(cat.read("reps"), "url", "left_semi")
+        # a full 2b rewrite supersedes the stage-3 append log the same way a
+        # full stage-2 rewrite does (the substring edge set may change
+        # wholesale — e.g. ceiling crossings can DROP pairs, which the
+        # merge-only stage-3 delta cannot express) → wipe, stage 3 runs full
+        import shutil as _shutil
+
+        for t in self._STAGE3_LOG_TABLES:
+            _shutil.rmtree(cat.path(t), ignore_errors=True)
         cands, flagged, windows = substring_candidates(
             pages, cfg, return_windows=True
         )
@@ -693,7 +719,11 @@ class NDDPipeline:
             )
         cands = cands.localCheckpoint()
         hits = verify_substring_pairs(cands, self.pages_table(), cfg)
+        hits = hits.localCheckpoint()  # two consumers: log + table append
         n_flagged = flagged.count()
+        # stage-3 append log before the table append (same crash ordering
+        # rule as the stage-2 delta: over-logging is safe, under-logging not)
+        cat.write(hits.select("url_a", "url_b"), "edges_new", mode="append")
         cat.write(hits, "substring_pairs", mode="append")
         cat.write(new_windows, "window_index", mode="append")
         cat.write(
@@ -731,6 +761,12 @@ class NDDPipeline:
         labels = connected_components(edges)
         clusters = clusters_table(labels, self.pages_table().select("url"))
         cat.write(clusters, "clusters")
+        # the full build consumed everything the append log covered — wipe
+        # it so a later delta never re-applies superseded edges
+        import shutil as _shutil
+
+        for t in self._STAGE3_LOG_TABLES:
+            _shutil.rmtree(cat.path(t), ignore_errors=True)
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("clusters")
         cat.mark_complete("clusters", h, {-1: n}, wall_ms)
@@ -742,6 +778,118 @@ class NDDPipeline:
                 "wall_ms": wall_ms,
             },
         )
+
+    def stage3_clusters_delta(self, max_remap: int = 2_000_000) -> bool:
+        """Incremental clustering from the append log (edges_new/urls_new).
+
+        Contracts the log's new edges to the committed clusters' labels and
+        runs CC over the contracted graph (operators/delta.py
+        cluster_label_delta) — the pairs/substring_pairs tables are NEVER
+        read, so the work scales with the append, not the corpus edge set
+        (round-2 verdict #1: the last full-reprocess stage). The corpus-
+        proportional cost left is one map-side rewrite of the clusters
+        table (broadcast remap join + union of new rows) — an Iceberg
+        MERGE at production scale.
+
+        Returns True if the delta ran (or clusters is already current);
+        False when there is no valid append log, the prior clusters build
+        is uncommitted, retractions are pending (urls_retracted — handled
+        by the retraction path), or the changed-label remap exceeds
+        ``max_remap`` (the broadcast ceiling) — caller runs the full stage.
+
+        Crash protocol: stage the new table as ``clusters_next``, wipe the
+        log, then swap dirs. A crash at any point leaves either the old
+        committed clusters + intact log (retry re-deltas, idempotent) or a
+        wiped log (retry falls back to full) — never a stale-but-plausible
+        clusters table."""
+        import os
+        import shutil as _shutil
+
+        from near_duplicate_detection_spark.operators.delta import (
+            cluster_label_delta,
+        )
+
+        cat = self.catalog
+        h = self.stage3_run_hash()
+        if cat.completed_partitions("clusters", h):
+            return True
+        if not (cat.exists("clusters") and cat.latest_partition_stats("clusters")):
+            return False  # no committed prior build to delta against
+        if cat.exists("urls_retracted"):
+            return False  # append-only premise violated
+        if not (cat.exists("edges_new") or cat.exists("urls_new")):
+            return False  # no log → edge set may have been rebuilt wholesale
+        t0 = time.monotonic()
+        n_new_edges = cat.count_rows("edges_new") if cat.exists("edges_new") else 0
+        old = cat.read("clusters").select("url", "cluster_id")
+        if cat.exists("edges_new"):
+            new_edges = (
+                cat.read("edges_new")
+                .select("url_a", "url_b")
+                .dropDuplicates(["url_a", "url_b"])
+            )
+            remap, node_labels = cluster_label_delta(old, new_edges)
+            remap = remap.localCheckpoint()
+            if remap.count() > max_remap:
+                return False  # merge cascade too wide to broadcast → full CC
+        else:
+            remap = node_labels = None
+        new_rows = (
+            cat.read("urls_new").select("url").distinct()
+            if cat.exists("urls_new")
+            else self.spark.createDataFrame([], "url string")
+        )
+        if node_labels is not None:
+            new_rows = new_rows.join(node_labels, "url", "left").select(
+                "url", F.coalesce("label", F.col("url")).alias("cluster_id")
+            )
+        else:
+            new_rows = new_rows.withColumn("cluster_id", F.col("url"))
+        updated_old = old
+        if remap is not None:
+            rm = remap.select(
+                F.col("url").alias("_old_label"), F.col("label").alias("_new_label")
+            )
+            updated_old = (
+                old.join(
+                    F.broadcast(rm),
+                    old.cluster_id == rm._old_label,
+                    "left",
+                )
+                .select(
+                    "url",
+                    F.coalesce("_new_label", F.col("cluster_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
+        clusters_next = updated_old.unionByName(new_rows).withColumn(
+            "is_representative", F.col("url") == F.col("cluster_id")
+        )
+        # stage → wipe log → swap (see docstring crash protocol)
+        _shutil.rmtree(cat.path("clusters_next"), ignore_errors=True)
+        cat.write(clusters_next, "clusters_next")
+        n_merged = remap.count() if remap is not None else 0
+        n_new_urls = new_rows.count()
+        for t in self._STAGE3_LOG_TABLES:
+            _shutil.rmtree(cat.path(t), ignore_errors=True)
+        _shutil.rmtree(cat.path("clusters"), ignore_errors=True)
+        os.rename(cat.path("clusters_next"), cat.path("clusters"))
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        n = cat.count_rows("clusters")
+        cat.mark_complete("clusters", h, {-1: n}, wall_ms)
+        cat.add_metrics(
+            "clusters",
+            {
+                "rows": n,
+                "delta_new_edges": n_new_edges,
+                "delta_new_urls": n_new_urls,
+                "delta_merged_labels": n_merged,
+                "multi_doc_clusters": self._multi_doc_clusters(),
+                "wall_ms": wall_ms,
+            },
+        )
+        return True
 
     def _multi_doc_clusters(self) -> int:
         """Count of clusters with ≥2 members — a distributed groupBy over the
@@ -810,9 +958,10 @@ class NDDPipeline:
         1 signs only provably-appended docs (pure-append checksum algebra),
         stages 2 and 2b run their DELTA paths when the drift is append-only
         (falling back to the full rebuild on edits/deletions or missing
-        delta state), stage 3 re-clusters the updated edge set. `pages` is
-        the FULL current snapshot (same contract as run()); the appended
-        docs are inferred."""
+        delta state), and stage 3 merges only the appended edges into the
+        committed clusters via cluster contraction (full CC only when the
+        append log is missing or superseded). `pages` is the FULL current
+        snapshot (same contract as run()); the appended docs are inferred."""
         if pages is not None:
             self.stage0_ingest(pages, resume=True)
         self.stage1_signatures(resume=True)
@@ -821,7 +970,8 @@ class NDDPipeline:
         if substring_pass:
             if not self.stage2b_delta():
                 self.stage2b_substring(resume=True)
-        self.stage3_clusters(resume=True)
+        if not self.stage3_clusters_delta():
+            self.stage3_clusters(resume=True)
         return self.catalog.read("clusters")
 
 
