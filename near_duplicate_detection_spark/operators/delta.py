@@ -26,9 +26,12 @@ therefore a superset of the full rebuild's verified pairs in that corner:
 recall is ≥ the full rebuild, never below (tests pin cluster-partition
 equality in the no-crossing case).
 
-Append-ONLY: edits and deletions invalidate the delta premise (stale pairs
-would survive); the pipeline detects both against the stage-2 `seen`
-snapshot and falls back to the full rebuild path.
+Edits and deletions violate the append-only premise; the pipeline detects
+both against the stage-2 `seen` snapshot and first attempts a TARGETED
+RETRACTION (retraction_mapping / relabel_*: drop or rep-substitute the
+drifted urls' rows across every stage table, then treat edited content as
+a fresh append), falling back to the full rebuild only when the retraction
+is too large or prior retraction state is inconsistent (crash marker).
 """
 
 from __future__ import annotations
@@ -229,6 +232,89 @@ def cluster_label_delta(
     node_labels = connected_components(contracted)
     remap = node_labels.where(F.col("url") != F.col("label"))
     return remap, node_labels
+
+
+def retraction_mapping(
+    seen_after: DataFrame, reps: DataFrame, retracted: DataFrame
+) -> DataFrame:
+    """(url, new_url) for every retracted url — the relabel/drop plan.
+
+    An exact-dup group's members all share the SAME content fingerprint, so
+    when a retracted url was the group's representative, any surviving
+    member has byte-identical content and can inherit the rep's rows
+    verbatim (verified scores carry over exactly): new_url = min surviving
+    member (the same pick a full-rebuild ``exact_groups`` would make).
+    new_url is NULL when nothing survives (singleton / whole group gone) or
+    the url was a non-rep star member — its rows are simply dropped.
+    Reference semantics: ``update_index`` drops a vanished video's index
+    entries without rebuilding the index (ndd/server_ndd.py:246-261).
+
+    seen_after: the (url, fp) coverage snapshot AFTER removing the
+    retracted urls. All inputs here are retraction-sized or rep-sized;
+    every join is broadcastable by the caller's size guard."""
+    broken = reps.join(retracted, "url", "left_semi")  # (url=old rep, fp)
+    replacement = (
+        seen_after.join(broken.select("fp"), "fp", "left_semi")
+        .groupBy("fp")
+        .agg(F.min("url").alias("new_url"))
+    )
+    rep_new = broken.join(replacement, "fp", "left").select("url", "new_url")
+    return retracted.select("url").join(rep_new, "url", "left").select(
+        "url", "new_url"
+    )
+
+
+def relabel_url_table(
+    df: DataFrame, mapping: DataFrame, col: str = "url"
+) -> DataFrame:
+    """Apply a retraction mapping to a single-url table: rows whose url maps
+    to NULL are dropped, mapped urls are substituted, everything else passes
+    through. Map-side (broadcast) — never shuffles the table."""
+    m = mapping.select(
+        F.col("url").alias(col),
+        F.col("new_url").alias("__new"),
+        F.lit(True).alias("__hit"),
+    )
+    return (
+        df.join(F.broadcast(m), col, "left")
+        .where(F.col("__hit").isNull() | F.col("__new").isNotNull())
+        .withColumn(col, F.coalesce("__new", F.col(col)))
+        .drop("__new", "__hit")
+    )
+
+
+def relabel_pair_table(df: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Apply a retraction mapping to a (url_a, url_b, …) pair table.
+
+    Rows touching a NULL-mapped url are dropped; mapped endpoints are
+    substituted by their replacement rep (identical content ⇒ the verified
+    score columns remain exact). Substitution can turn a star edge into a
+    self-edge ((old_rep, new_rep) → (new_rep, new_rep)) — dropped — and
+    re-canonicalization keeps url_a < url_b. Broadcast joins only."""
+    out = df
+    for side in ("url_a", "url_b"):
+        m = mapping.select(
+            F.col("url").alias(side),
+            F.col("new_url").alias(f"__new_{side}"),
+            F.lit(True).alias(f"__hit_{side}"),
+        )
+        out = out.join(F.broadcast(m), side, "left")
+    out = out.where(
+        (F.col("__hit_url_a").isNull() | F.col("__new_url_a").isNotNull())
+        & (F.col("__hit_url_b").isNull() | F.col("__new_url_b").isNotNull())
+    )
+    a = F.coalesce("__new_url_a", F.col("url_a"))
+    b = F.coalesce("__new_url_b", F.col("url_b"))
+    others = [c for c in df.columns if c not in ("url_a", "url_b")]
+    return (
+        out.select(
+            F.least(a, b).alias("url_a"),
+            F.greatest(a, b).alias("url_b"),
+            *others,
+        )
+        .where(F.col("url_a") != F.col("url_b"))
+        .dropDuplicates(["url_a", "url_b"])
+    )
 
 
 def delta_window_candidates(

@@ -35,26 +35,64 @@ FEATURES_SCHEMA = "media_id string, frame_idx int, embedding array<float>"
 
 EMBED_DIM = 64
 
+try:  # optional real codec — absent in this sandbox, detected at import
+    import io as _io
+
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAS_REAL_CODEC = True
+except Exception:  # pragma: no cover - exercised when PIL is installed
+    _PILImage = None
+    HAS_REAL_CODEC = False
+
 
 def _decode_stub(payload: bytes) -> np.ndarray:
     """STUB codec: deterministic fake 'decode' of a binary payload.
 
-    Real deployment: replace with PIL/ffmpeg decode. The sandbox has no
-    media libs; this fake is a pure hash-seeded pixel array so every test
-    is reproducible. Marked stub per the task contract.
+    The sandbox image ships no media libraries; this fake is a pure
+    hash-seeded pixel array so every test is reproducible. It is the
+    DEFAULT codec regardless of environment — byte-determinism of the
+    frames/features tables (and the driver's contract oracle) must not
+    depend on which codecs happen to be importable. Callers opt into the
+    real codec explicitly via ``default_codec()`` / ``codec=``.
     """
     seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little") % (2**31 - 1)
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
 
 
+def _decode_real(payload: bytes) -> np.ndarray:
+    """Real image decode (PIL): grayscale 16×16 thumbnail — the same
+    (16,16) uint8 contract as the stub, so the downstream feature
+    projection is codec-agnostic. Activated only when PIL is importable
+    (optional-dependency seam, round-2 verdict next-round #7)."""
+    if not HAS_REAL_CODEC:  # pragma: no cover
+        raise NotImplementedError(
+            "real media codec requires PIL; sandbox ships none — "
+            "use the deterministic _decode_stub"
+        )
+    img = _PILImage.open(_io.BytesIO(payload)).convert("L").resize((16, 16))
+    return np.asarray(img, dtype=np.uint8)
+
+
+def default_codec():
+    """The best decode available in this environment: PIL-backed when
+    importable, the deterministic stub otherwise. Pipelines that need
+    byte-stable output across environments should pass the stub
+    explicitly."""
+    return _decode_real if HAS_REAL_CODEC else _decode_stub
+
+
 def sample_frames(
-    media: DataFrame, frame_interval_ms: int = 1000
+    media: DataFrame, frame_interval_ms: int = 1000, codec=None
 ) -> DataFrame:
     """1 row → N rows: sample one frame per interval (reference: 1 frame/sec
     per shot, extract_images.py:43). The timestamp grid is a JVM-side
     explode(sequence(...)); only the per-frame payload slice runs in Python.
+    ``codec`` is the payload→pixel decoder (default: the deterministic
+    stub; pass ``default_codec()`` to use PIL when installed).
     """
+    decode = codec or _decode_stub
     grid = media.select(
         "media_id",
         "payload",
@@ -71,10 +109,11 @@ def sample_frames(
         for pdf in batches:
             if not len(pdf):
                 continue
-            # STUB: real impl seeks the container to ts_ms and decodes a frame;
-            # here the 'frame' is a deterministic slice of the payload hash.
+            # a real video codec would seek the container to ts_ms; a still
+            # image decodes once and every 'frame' is its pixel prefix —
+            # both reduce to decode(payload) + the ts tag below
             payloads = [
-                bytes(_decode_stub(p).tobytes()[:64]) + ts.to_bytes(4, "little")
+                bytes(decode(p).tobytes()[:64]) + ts.to_bytes(4, "little")
                 for p, ts in zip(pdf["payload"], pdf["ts_ms"])
             ]
             yield pd.DataFrame(
@@ -89,13 +128,15 @@ def sample_frames(
     return grid.mapInPandas(slice_frames, schema=FRAMES_SCHEMA)
 
 
-def extract_features(frames: DataFrame) -> DataFrame:
+def extract_features(frames: DataFrame, codec=None) -> DataFrame:
     """Frame → L2-normalized embedding (reference: extract_features.py:26-32,
-    model.predict + normalize). Arrow-batched; the 'model' is the stub codec
-    + a fixed projection so outputs are deterministic. Swap _decode_stub and
-    the projection for a real vision model in production; the executor-side
-    load-once pattern (reference extract_features.py:35-38) becomes a lazy
-    module global here."""
+    model.predict + normalize). Arrow-batched; the 'model' is the codec
+    (stub by default, PIL via ``default_codec()`` when installed) + a fixed
+    projection so outputs are deterministic. Swap the projection for a real
+    vision model in production; the executor-side load-once pattern
+    (reference extract_features.py:35-38) becomes a lazy module global
+    here."""
+    decode = codec or _decode_stub
     proj = np.random.RandomState(11).normal(size=(256, EMBED_DIM)).astype(np.float32)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -104,7 +145,7 @@ def extract_features(frames: DataFrame) -> DataFrame:
                 continue
             embs = []
             for payload in pdf["payload"]:
-                px = _decode_stub(payload).astype(np.float32).reshape(-1)
+                px = decode(payload).astype(np.float32).reshape(-1)
                 v = px @ proj
                 n = np.linalg.norm(v)
                 embs.append((v / n if n else v).astype(np.float32))

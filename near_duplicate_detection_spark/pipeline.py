@@ -387,7 +387,16 @@ class NDDPipeline:
     def stage2_pairs(self, resume: bool = True) -> None:
         cfg, cat = self.cfg, self.catalog
         h = self.stage2_run_hash()
-        if resume and cat.completed_partitions("pairs", h):
+        # a crashed retraction (marker up) may have mutated stage tables
+        # AFTER the lineage commit — e.g. crash mid-retract, then the
+        # snapshot reverts to the committed content: h matches but the
+        # tables don't. Never trust the early-return while the marker is up.
+        if (
+            resume
+            and cat.completed_partitions("pairs", h)
+            and cat.exists("pairs")
+            and not self._retract_inflight()
+        ):
             return
         t0 = time.monotonic()
         # column-prune BEFORE the fp join: stage 2 only ever uses url+bands
@@ -436,7 +445,13 @@ class NDDPipeline:
         # consumers fall back to full), never stale-but-plausible state
         import shutil as _shutil
 
-        for t in ("window_index", "seen_2b", *self._STAGE3_LOG_TABLES):
+        wipe = ["window_index", "seen_2b", *self._STAGE3_LOG_TABLES]
+        if self._retract_inflight():
+            # a crashed retraction may also have mutated substring_pairs
+            # in a way the (signature-content-based) 2b run hash cannot
+            # see — wipe it so 2b is forced to rebuild, not early-return
+            wipe.append("substring_pairs")
+        for t in wipe:
             _shutil.rmtree(cat.path(t), ignore_errors=True)
         cat.write(verified.unionByName(exact_edges), "pairs")
         # reps carries fp → it doubles as the exact-group rep_map the delta
@@ -455,6 +470,10 @@ class NDDPipeline:
         wall_ms = int((time.monotonic() - t0) * 1000)
         n_pairs = cat.count_rows("pairs")
         cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
+        # the committed rebuild supersedes any crashed retraction — only
+        # HERE is the crash marker cleared (every delta entry point refuses
+        # while it is up)
+        self._clear_retract_inflight()
         cat.add_metrics(
             "pairs",
             {
@@ -466,12 +485,16 @@ class NDDPipeline:
             },
         )
 
-    def stage2_pairs_delta(self) -> bool:
-        """Append-only incremental stage 2 (operators/delta.py): new docs'
-        pairs are computed against the existing reps/pairs state instead of
-        re-running the corpus-wide band groupBy. Returns True if the delta
-        path ran (or nothing changed); False if edits/deletions were
-        detected — the caller must run the full ``stage2_pairs``.
+    def stage2_pairs_delta(self, max_retract: int = 100_000) -> bool:
+        """Incremental stage 2 (operators/delta.py): new docs' pairs are
+        computed against the existing reps/pairs state instead of re-running
+        the corpus-wide band groupBy. Edited/deleted docs are handled by a
+        TARGETED RETRACTION first (``_stage2_retract`` — drop or
+        rep-substitute their rows, then treat edited content as appended).
+        Returns True if the delta path ran (or nothing changed); False when
+        the state can't support it (no prior run, partial crash state,
+        param drift, retraction larger than ``max_retract``) — the caller
+        must run the full ``stage2_pairs``.
 
         Cluster-partition equivalence with a full rebuild is pinned by
         tests/test_incremental.py; in the bucket-ceiling-crossing corner
@@ -483,6 +506,8 @@ class NDDPipeline:
         )
 
         cfg, cat = self.cfg, self.catalog
+        if self._retract_inflight():
+            return False  # crashed mid-retraction → stage tables suspect
         h = self.stage2_run_hash()
         if cat.completed_partitions("pairs", h):
             return True  # already current
@@ -517,10 +542,24 @@ class NDDPipeline:
             .union(cat.read("pairs").select(F.col("url_b").alias("url")))
         )
         partial = processed.join(seen.select("url"), "url", "left_anti")
+        if partial.limit(1).count():
+            return False  # partial prior delta state → full path
         new_sigs, violations = classify_drift(sigs, seen)
+        violations = violations.localCheckpoint()
+        if violations.limit(1).count():
+            # edit/delete drift: targeted retraction (drop or rep-substitute
+            # the drifted urls' rows across the stage tables), after which
+            # edited docs classify as plain appends. Refusals (too large,
+            # crash marker) → full path.
+            if not self._stage2_retract(violations, max_retract):
+                return False
+            if not (
+                cat.exists("seen") and cat.exists("reps") and cat.exists("pairs")
+            ):
+                return False  # retraction emptied a core table → full path
+            seen = cat.read("seen").select("url", "fp")
+            new_sigs, _ = classify_drift(sigs, seen)
         new_sigs = new_sigs.localCheckpoint()
-        if violations.union(partial).limit(1).count():
-            return False  # edit/delete drift or partial delta → full path
         n_new = new_sigs.count()
         if n_new == 0:
             cat.mark_complete("pairs", h, {-1: cat.count_rows("pairs")}, 0)
@@ -573,12 +612,112 @@ class NDDPipeline:
         )
         return True
 
+    # ---------- targeted retraction (edit/delete delta) ----------
+
+    def _retract_marker_path(self) -> str:
+        import os
+
+        return os.path.join(self.catalog.base_dir, "retract.inflight")
+
+    def _retract_inflight(self) -> bool:
+        import os
+
+        return os.path.exists(self._retract_marker_path())
+
+    def _clear_retract_inflight(self) -> None:
+        import os
+
+        try:
+            os.remove(self._retract_marker_path())
+        except FileNotFoundError:
+            pass
+
+    def _stage2_retract(
+        self, retracted: DataFrame, max_retract: int = 100_000
+    ) -> bool:
+        """Retract edited/deleted urls from every stage-2/2b table so the
+        append delta can take over (reference: ``update_index`` removes a
+        vanished video's entries without rebuilding the index,
+        ndd/server_ndd.py:246-261). Zero recompute: a retracted exact-group
+        representative's rows are INHERITED verbatim by the min surviving
+        member (identical content ⇒ identical signatures, windows, and
+        verified scores — operators/delta.py retraction_mapping); everything
+        else is dropped. Each rewrite is a broadcast-mapped scan of one
+        stage table — an Iceberg MERGE/DELETE at production scale; the
+        pending edges_new/urls_new logs are rewritten under the same mapping
+        so an uncommitted stage-3 delta stays consistent, and the mapping is
+        appended to ``urls_retracted`` for stage 3's dissolve step.
+
+        Crash protocol: a ``retract.inflight`` marker is set BEFORE the
+        first table rewrite and cleared after the last — the rewrites span
+        several tables without an atomic commit, so a crash mid-way leaves
+        the marker up and every delta entry point refuses until the full
+        ``stage2_pairs`` rebuild clears it.
+
+        Returns False (nothing touched) when the retraction exceeds
+        ``max_retract`` — the broadcast-mapping ceiling."""
+        from near_duplicate_detection_spark.operators.delta import (
+            relabel_pair_table,
+            relabel_url_table,
+            retraction_mapping,
+        )
+
+        cat = self.catalog
+        retracted = retracted.select("url").distinct().localCheckpoint()
+        n_ret = retracted.count()
+        if n_ret > max_retract:
+            return False
+        with open(self._retract_marker_path(), "w") as f:
+            f.write("retraction in progress\n")
+        seen_after = (
+            cat.read("seen").join(retracted, "url", "left_anti").localCheckpoint()
+        )
+        mapping = retraction_mapping(
+            seen_after.select("url", "fp"), cat.read("reps"), retracted
+        ).localCheckpoint()
+        # single-url tables: reps + the 2b coverage/window state (the
+        # replacement rep inherits the old rep's windows byte-for-byte)
+        for t in ("reps", "window_index", "seen_2b"):
+            if cat.exists(t):
+                cat.write(
+                    relabel_url_table(cat.read(t), mapping).localCheckpoint(), t
+                )
+        for t in ("pairs", "substring_pairs", "edges_new"):
+            if cat.exists(t):
+                cat.write(
+                    relabel_pair_table(cat.read(t), mapping).localCheckpoint(), t
+                )
+        # the pending new-doc log DROPS retracted urls outright (the
+        # replacement rep is an OLD doc — substituting it would double it
+        # into stage 3's new_rows); an edited url re-enters via the
+        # subsequent append delta
+        if cat.exists("urls_new"):
+            cat.write(
+                cat.read("urls_new")
+                .join(retracted, "url", "left_anti")
+                .localCheckpoint(),
+                "urls_new",
+            )
+        cat.write(seen_after, "seen")
+        # stage-3 dissolve log LAST among the writes: if we crash before
+        # this append the marker still routes everything to the full path
+        cat.write(mapping, "urls_retracted", mode="append")
+        self._clear_retract_inflight()
+        cat.add_metrics("pairs", {"retracted_docs": n_ret})
+        return True
+
     # ---------- stage 2b ----------
 
     def stage2b_substring(self, resume: bool = True) -> None:
         cfg, cat = self.cfg, self.catalog
         h = self.stage2b_run_hash()
-        if resume and cat.completed_partitions("substring_pairs", h):
+        # exists guard: a wiped table must rebuild even if lineage matches
+        # (stage2_pairs wipes substring_pairs after a crashed retraction)
+        if (
+            resume
+            and cat.completed_partitions("substring_pairs", h)
+            and cat.exists("substring_pairs")
+        ):
             return
         t0 = time.monotonic()
         pages = self.pages_table()
@@ -657,6 +796,8 @@ class NDDPipeline:
         )
 
         cfg, cat = self.cfg, self.catalog
+        if self._retract_inflight():
+            return False  # crashed mid-retraction → stage tables suspect
         h = self.stage2b_run_hash()
         if cat.completed_partitions("substring_pairs", h):
             return True
@@ -750,7 +891,11 @@ class NDDPipeline:
     def stage3_clusters(self, resume: bool = True) -> None:
         cfg, cat = self.cfg, self.catalog
         h = self.stage3_run_hash()
-        if resume and cat.completed_partitions("clusters", h):
+        if (
+            resume
+            and cat.completed_partitions("clusters", h)
+            and cat.exists("clusters")
+        ):
             return
         t0 = time.monotonic()
         edges = cat.read("pairs").select("url_a", "url_b")
@@ -780,22 +925,27 @@ class NDDPipeline:
         )
 
     def stage3_clusters_delta(self, max_remap: int = 2_000_000) -> bool:
-        """Incremental clustering from the append log (edges_new/urls_new).
+        """Incremental clustering from the append/retract logs.
 
-        Contracts the log's new edges to the committed clusters' labels and
-        runs CC over the contracted graph (operators/delta.py
-        cluster_label_delta) — the pairs/substring_pairs tables are NEVER
-        read, so the work scales with the append, not the corpus edge set
-        (round-2 verdict #1: the last full-reprocess stage). The corpus-
+        Append half: contracts the logged new edges (edges_new) to the
+        committed clusters' labels and runs CC over the contracted graph
+        (operators/delta.py cluster_label_delta) — work scales with the
+        append, not the corpus edge set (round-2 verdict #1: the last
+        full-reprocess stage). Retract half (urls_retracted): every cluster
+        touching a retracted url is DISSOLVED — edge removal can split it
+        and change its min-url label — and its surviving members re-cluster
+        as raw nodes from the post-retraction edge tables (one semi-join of
+        pairs/substring_pairs against the dissolved membership, NOT a full
+        edge-set scan), side by side with the appended edges. The corpus-
         proportional cost left is one map-side rewrite of the clusters
         table (broadcast remap join + union of new rows) — an Iceberg
         MERGE at production scale.
 
         Returns True if the delta ran (or clusters is already current);
-        False when there is no valid append log, the prior clusters build
-        is uncommitted, retractions are pending (urls_retracted — handled
-        by the retraction path), or the changed-label remap exceeds
-        ``max_remap`` (the broadcast ceiling) — caller runs the full stage.
+        False when there is no valid log, the prior clusters build is
+        uncommitted, a crashed retraction left its marker up, or the
+        dissolve/remap set exceeds ``max_remap`` (the broadcast ceiling) —
+        caller runs the full stage.
 
         Crash protocol: stage the new table as ``clusters_next``, wipe the
         log, then swap dirs. A crash at any point leaves either the old
@@ -807,28 +957,74 @@ class NDDPipeline:
 
         from near_duplicate_detection_spark.operators.delta import (
             cluster_label_delta,
+            pairs_touching,
         )
 
         cat = self.catalog
+        if self._retract_inflight():
+            return False  # crashed mid-retraction → stage tables suspect
         h = self.stage3_run_hash()
         if cat.completed_partitions("clusters", h):
             return True
         if not (cat.exists("clusters") and cat.latest_partition_stats("clusters")):
             return False  # no committed prior build to delta against
-        if cat.exists("urls_retracted"):
-            return False  # append-only premise violated
-        if not (cat.exists("edges_new") or cat.exists("urls_new")):
+        has_retract = cat.exists("urls_retracted")
+        has_edges = cat.exists("edges_new")
+        has_urls = cat.exists("urls_new")
+        if not (has_edges or has_urls or has_retract):
             return False  # no log → edge set may have been rebuilt wholesale
         t0 = time.monotonic()
-        n_new_edges = cat.count_rows("edges_new") if cat.exists("edges_new") else 0
+        n_new_edges = cat.count_rows("edges_new") if has_edges else 0
         old = cat.read("clusters").select("url", "cluster_id")
-        if cat.exists("edges_new"):
-            new_edges = (
-                cat.read("edges_new")
-                .select("url_a", "url_b")
-                .dropDuplicates(["url_a", "url_b"])
+        if has_retract:
+            retr = (
+                cat.read("urls_retracted")
+                .select("url")
+                .distinct()
+                .localCheckpoint()
             )
-            remap, node_labels = cluster_label_delta(old, new_edges)
+            n_retr = retr.count()
+            affected = (
+                old.join(F.broadcast(retr), "url", "left_semi")
+                .select("cluster_id")
+                .distinct()
+                .localCheckpoint()
+            )
+            n_dissolved = affected.count()
+            frontier = (
+                old.join(F.broadcast(affected), "cluster_id", "left_semi")
+                .select("url")
+                .join(F.broadcast(retr), "url", "left_anti")
+                .localCheckpoint()
+            )
+            if frontier.count() > max_remap:
+                return False  # dissolve set too wide to broadcast → full CC
+            sub_edges = None
+            if cat.exists("pairs"):
+                all_edges = cat.read("pairs").select("url_a", "url_b")
+                if cat.exists("substring_pairs"):
+                    all_edges = all_edges.union(
+                        cat.read("substring_pairs").select("url_a", "url_b")
+                    )
+                sub_edges = pairs_touching(all_edges, frontier)
+            base_old = old.join(F.broadcast(affected), "cluster_id", "left_anti")
+        else:
+            retr = frontier = sub_edges = None
+            n_retr = n_dissolved = 0
+            base_old = old
+        edge_parts = []
+        if has_edges:
+            edge_parts.append(cat.read("edges_new").select("url_a", "url_b"))
+        if sub_edges is not None:
+            edge_parts.append(sub_edges)
+        if edge_parts:
+            combined = edge_parts[0]
+            for p in edge_parts[1:]:
+                combined = combined.union(p)
+            combined = combined.dropDuplicates(["url_a", "url_b"])
+            # frontier members are NOT in base_old, so the contraction keeps
+            # them as raw nodes and re-derives their labels from scratch
+            remap, node_labels = cluster_label_delta(base_old, combined)
             remap = remap.localCheckpoint()
             if remap.count() > max_remap:
                 return False  # merge cascade too wide to broadcast → full CC
@@ -836,24 +1032,32 @@ class NDDPipeline:
             remap = node_labels = None
         new_rows = (
             cat.read("urls_new").select("url").distinct()
-            if cat.exists("urls_new")
+            if has_urls
             else self.spark.createDataFrame([], "url string")
         )
+        # NOTE: no retracted-url filter here — the retraction already
+        # rewrote urls_new (dropping retracted rows), so any retracted url
+        # present now is an EDITED doc legitimately re-appended by the
+        # subsequent append delta
+        if frontier is not None:
+            # dissolved-cluster survivors re-enter exactly like new docs:
+            # label from the contraction CC, else themselves (singletons)
+            new_rows = new_rows.unionByName(frontier.select("url"))
         if node_labels is not None:
             new_rows = new_rows.join(node_labels, "url", "left").select(
                 "url", F.coalesce("label", F.col("url")).alias("cluster_id")
             )
         else:
             new_rows = new_rows.withColumn("cluster_id", F.col("url"))
-        updated_old = old
+        updated_old = base_old
         if remap is not None:
             rm = remap.select(
                 F.col("url").alias("_old_label"), F.col("label").alias("_new_label")
             )
             updated_old = (
-                old.join(
+                base_old.join(
                     F.broadcast(rm),
-                    old.cluster_id == rm._old_label,
+                    base_old.cluster_id == rm._old_label,
                     "left",
                 )
                 .select(
@@ -885,6 +1089,8 @@ class NDDPipeline:
                 "delta_new_edges": n_new_edges,
                 "delta_new_urls": n_new_urls,
                 "delta_merged_labels": n_merged,
+                "delta_retracted_urls": n_retr,
+                "delta_dissolved_clusters": n_dissolved,
                 "multi_doc_clusters": self._multi_doc_clusters(),
                 "wall_ms": wall_ms,
             },
@@ -954,14 +1160,17 @@ class NDDPipeline:
         pages: DataFrame | None = None,
         substring_pass: bool = True,
     ) -> DataFrame:
-        """Append-optimized build: stage 0 refreshes drifted buckets, stage
-        1 signs only provably-appended docs (pure-append checksum algebra),
-        stages 2 and 2b run their DELTA paths when the drift is append-only
-        (falling back to the full rebuild on edits/deletions or missing
-        delta state), and stage 3 merges only the appended edges into the
-        committed clusters via cluster contraction (full CC only when the
-        append log is missing or superseded). `pages` is the FULL current
-        snapshot (same contract as run()); the appended docs are inferred."""
+        """Change-optimized build: stage 0 refreshes drifted buckets, stage
+        1 signs only changed docs, stages 2 and 2b run their DELTA paths —
+        appends probe the persisted index state, edits/deletes go through a
+        targeted retraction (drop or rep-substitute the drifted urls' rows)
+        and then re-enter as appends — and stage 3 merges appended edges
+        into the committed clusters via cluster contraction, dissolving and
+        re-clustering only the clusters a retraction touched. The full
+        rebuild runs only when the delta state is missing, superseded, too
+        large to retract, or marked inconsistent by a crashed retraction.
+        `pages` is the FULL current snapshot (same contract as run());
+        appends/edits/deletes are inferred."""
         if pages is not None:
             self.stage0_ingest(pages, resume=True)
         self.stage1_signatures(resume=True)

@@ -1,6 +1,8 @@
-"""Delta stage-2 (operators/delta.py, pipeline.run_incremental): appending
-docs must produce the SAME cluster partition as a from-scratch rebuild,
-without re-running the corpus-wide band groupBy; edits/deletes fall back."""
+"""Incremental paths (operators/delta.py, pipeline.run_incremental):
+appends, edits, and deletes must each produce the SAME cluster partition as
+a from-scratch rebuild, without re-running the corpus-wide band groupBy —
+appends via the probe deltas + stage-3 cluster contraction, edits/deletes
+via the targeted retraction (relabel/drop + dissolve-and-re-cluster)."""
 
 from __future__ import annotations
 
@@ -178,23 +180,85 @@ def test_append_merges_two_existing_clusters_via_stage3_delta(
     assert not pipe.catalog.exists("urls_new")
 
 
-def test_edit_falls_back_to_full(spark, tmp_path_factory):
-    base = str(tmp_path_factory.mktemp("ndd_edit"))
-    pipe = NDDPipeline(spark, CFG, base)
-    pipe.run(generate_pages(spark, 100))
-    edited = generate_pages(spark, 100).withColumn(
+def _edit_doc(spark, n, suffix):
+    return generate_pages(spark, n).withColumn(
         "text",
         F.when(
-            F.col("url").endswith("0006"),
+            F.col("url").endswith(suffix),
             F.concat(F.col("text"), F.lit(" freshly edited tail")),
         ).otherwise(F.col("text")),
     )
-    assert pipe.stage2_pairs_delta.__doc__  # method exists
-    pipe.stage0_ingest(edited, resume=True)
-    pipe.stage1_signatures(resume=True)
-    assert pipe.stage2_pairs_delta() is False  # drift detected → full path
+
+
+def test_edit_retracts_and_matches_full(spark, tmp_path_factory):
+    """An edited doc is handled by the targeted retraction + re-append —
+    never a full stage-2 rebuild — and the clusters equal a from-scratch
+    build (VERDICT r2 next-round #3 done-criterion). Doc 20 is an
+    exact-dup REP (21 copies it): the retraction must hand its verified
+    rows to the surviving member before the new content re-enters."""
+    base = str(tmp_path_factory.mktemp("ndd_edit"))
+    pipe = NDDPipeline(spark, CFG, base)
+    pipe.run(generate_pages(spark, 100))
+    edited = _edit_doc(spark, 100, "0020")
     clusters = pipe.run_incremental(edited).toPandas()
     assert len(clusters) == 100
+    full = NDDPipeline(
+        spark, CFG, str(tmp_path_factory.mktemp("ndd_edit_full"))
+    ).run(edited).toPandas()
+    assert _partition(clusters) == _partition(full)
+    m = pipe.catalog.read("metrics").toPandas()
+    # exactly one doc retracted, and the APPEND delta (not the full
+    # rebuild) processed its new content: the full path would write a
+    # second verified_pairs row without a delta_new_docs row
+    assert (
+        int(m[(m.stage == "pairs") & (m.key == "retracted_docs")].value.sum())
+        == 1
+    )
+    assert len(m[(m.stage == "pairs") & (m.key == "delta_new_docs")]) == 1
+    # stage 3 dissolved only the touched cluster(s), never re-clustering
+    # the full edge set
+    dis = m[(m.stage == "clusters") & (m.key == "delta_dissolved_clusters")]
+    assert len(dis) == 1 and int(dis.value.iloc[0]) >= 1
+    # logs consumed on commit; no crash marker left behind
+    for t in ("edges_new", "urls_new", "urls_retracted"):
+        assert not pipe.catalog.exists(t)
+    assert not pipe._retract_inflight()
+
+
+def test_retraction_cap_refuses_before_touching_state(
+    spark, tmp_path_factory
+):
+    base = str(tmp_path_factory.mktemp("ndd_cap"))
+    pipe = NDDPipeline(spark, CFG, base)
+    pipe.run(generate_pages(spark, 100))
+    edited = _edit_doc(spark, 100, "0006")
+    pipe.stage0_ingest(edited, resume=True)
+    pipe.stage1_signatures(resume=True)
+    n_pairs = pipe.catalog.count_rows("pairs")
+    assert pipe.stage2_pairs_delta(max_retract=0) is False
+    # the refusal happened before any rewrite
+    assert not pipe.catalog.exists("urls_retracted")
+    assert not pipe._retract_inflight()
+    assert pipe.catalog.count_rows("pairs") == n_pairs
+    clusters = pipe.run_incremental(edited).toPandas()  # default cap
+    assert len(clusters) == 100
+
+
+def test_retract_crash_marker_forces_full_rebuild(spark, tmp_path_factory):
+    """A crash mid-retraction leaves the inflight marker up: every delta
+    entry point must refuse, and the full rebuild (which clears the
+    marker) must ignore its lineage early-return while the marker is up."""
+    base = str(tmp_path_factory.mktemp("ndd_crash"))
+    pipe = NDDPipeline(spark, CFG, base)
+    pipe.run(generate_pages(spark, 80))
+    with open(pipe._retract_marker_path(), "w") as f:
+        f.write("simulated crash\n")
+    assert pipe.stage2_pairs_delta() is False
+    assert pipe.stage2b_delta() is False
+    assert pipe.stage3_clusters_delta() is False
+    clusters = pipe.run_incremental(generate_pages(spark, 90)).toPandas()
+    assert len(clusters) == 90
+    assert not pipe._retract_inflight()  # cleared by the committed rebuild
 
 
 def test_noop_incremental_is_cheap(spark, tmp_path_factory):
@@ -228,15 +292,30 @@ def test_param_change_rejects_delta_state(spark, tmp_path_factory):
     assert again.stage2b_delta() is True
 
 
-def test_delete_falls_back_to_full(spark, tmp_path_factory):
-    """A shrunken snapshot (vanished docs) violates the append-only premise:
-    the delta must refuse and the full path must drop the vanished urls."""
+def test_delete_retracts_and_matches_full(spark, tmp_path_factory):
+    """A shrunken snapshot (vanished docs) goes through the targeted
+    retraction: vanished urls' rows are dropped from every stage table,
+    their clusters dissolve and re-form, and the result equals a
+    from-scratch build over the smaller snapshot."""
     base = str(tmp_path_factory.mktemp("ndd_del"))
     pipe = NDDPipeline(spark, CFG, base)
     pipe.run(generate_pages(spark, 120))
     smaller = generate_pages(spark, 90)
-    pipe.stage0_ingest(smaller, resume=True)
-    pipe.stage1_signatures(resume=True)
-    assert pipe.stage2_pairs_delta() is False
     clusters = pipe.run_incremental(smaller).toPandas()
     assert len(clusters) == 90
+    full = NDDPipeline(
+        spark, CFG, str(tmp_path_factory.mktemp("ndd_del_full"))
+    ).run(smaller).toPandas()
+    assert _partition(clusters) == _partition(full)
+    m = pipe.catalog.read("metrics").toPandas()
+    assert (
+        int(m[(m.stage == "pairs") & (m.key == "retracted_docs")].value.sum())
+        == 30
+    )
+    # a pure delete appends nothing: the full rebuild would write a second
+    # verified_pairs metrics row — the retraction path must not
+    assert len(m[(m.stage == "pairs") & (m.key == "verified_pairs")]) == 1
+    cl_retr = m[(m.stage == "clusters") & (m.key == "delta_retracted_urls")]
+    assert len(cl_retr) == 1 and int(cl_retr.value.iloc[0]) == 30
+    for t in ("edges_new", "urls_new", "urls_retracted"):
+        assert not pipe.catalog.exists(t)

@@ -9,7 +9,11 @@ import pytest
 
 from near_duplicate_detection_spark.operators.multimodal import (
     EMBED_DIM,
+    FRAMES_SCHEMA,
+    HAS_REAL_CODEC,
     MEDIA_SCHEMA,
+    _decode_stub,
+    default_codec,
     extract_features,
     resize_meta,
     sample_frames,
@@ -49,6 +53,70 @@ def test_features_deterministic_and_normalized(spark, media):
         assert np.allclose(x, y)
         assert len(x) == EMBED_DIM
         assert abs(np.linalg.norm(x) - 1.0) < 1e-5  # L2-normalized
+
+
+def test_default_codec_matches_environment(spark, media):
+    """The optional-dependency seam: without PIL the default codec IS the
+    deterministic stub (and the pipelines' default argument equals it);
+    with PIL it is the real decoder. Either way the stub path stays
+    byte-stable — passing codec=_decode_stub explicitly must reproduce the
+    default (stub) output exactly."""
+    codec = default_codec()
+    if HAS_REAL_CODEC:
+        assert codec is not _decode_stub
+    else:
+        assert codec is _decode_stub
+    frames_default = sample_frames(media).toPandas()
+    frames_stub = sample_frames(media, codec=_decode_stub).toPandas()
+    key = ["media_id", "frame_idx"]
+    a = frames_default.sort_values(key, ignore_index=True)
+    b = frames_stub.sort_values(key, ignore_index=True)
+    assert [bytes(x) for x in a.payload] == [bytes(y) for y in b.payload]
+
+
+@pytest.mark.skipif(not HAS_REAL_CODEC, reason="PIL not installed in sandbox")
+def test_real_codec_end_to_end(spark):
+    """Activates when PIL is installed (round-2 verdict next-round #7): a
+    real PNG flows through the same Spark plumbing — frame sampling slices
+    actual decoded pixels, and feature extraction embeds the decoded
+    thumbnail — with the same schemas, batch shapes, and normalization
+    contract the stub path pins."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    px = np.arange(32 * 32, dtype=np.uint8).reshape(32, 32)
+    Image.fromarray(px, mode="L").save(buf, format="PNG")
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            [("png1", "image", payload, (32, 32, 0))],
+            columns=["media_id", "kind", "payload", "meta"],
+        ),
+        MEDIA_SCHEMA,
+    )
+    codec = default_codec()
+    frames = sample_frames(media, codec=codec).toPandas()
+    assert len(frames) == 1
+    decoded = codec(payload)
+    assert decoded.shape == (16, 16) and decoded.dtype == np.uint8
+    assert bytes(frames.payload.iloc[0])[:64] == decoded.tobytes()[:64]
+    # features over encoded-image frame payloads: the frames table stores
+    # the ORIGINAL encoded bytes (a real frames sink would re-encode each
+    # frame) so the codec can decode them again
+    enc_frames = spark.createDataFrame(
+        pd.DataFrame(
+            [("png1", 0, 0, payload)],
+            columns=["media_id", "frame_idx", "ts_ms", "payload"],
+        ),
+        FRAMES_SCHEMA,
+    )
+    feats = extract_features(enc_frames, codec=codec).toPandas()
+    assert len(feats) == 1
+    emb = feats.embedding.iloc[0]
+    assert len(emb) == EMBED_DIM
+    assert abs(np.linalg.norm(emb) - 1.0) < 1e-5
 
 
 def test_resize_meta_aspect_preserving(spark, media):
