@@ -49,23 +49,37 @@ from near_duplicate_detection_spark.operators.lsh import (
 )
 
 
-def classify_drift(
-    signatures: DataFrame, seen: DataFrame
-) -> tuple[DataFrame, DataFrame]:
-    """signatures (current) vs seen (url, fp as of last stage 2) →
-    (new_sigs, violations). violations = removed urls ∪ edited urls (fp
-    changed); non-empty violations ⇒ the caller must run the full path."""
-    new_sigs = signatures.join(seen.select("url"), "url", "left_anti")
-    removed = seen.select("url").join(
-        signatures.select("url"), "url", "left_anti"
+def classify_drift(signatures: DataFrame, seen: DataFrame) -> DataFrame:
+    """signatures (current) vs seen (url, fp as of last stage 2) → the
+    DRIFT frame: one full-outer join keeping only changed rows — appended
+    (``seen_fp`` NULL, signature columns populated), removed (``fp`` NULL),
+    or edited (both present, fp ≠ seen_fp). The result is drift-sized, so
+    the caller checkpoints it ONCE and derives new docs and violations from
+    the materialized frame — the previous two-frame API cost two separate
+    corpus scans (one per checkpoint). Split with ``drift_new`` /
+    ``drift_violations``."""
+    return (
+        signatures.join(
+            seen.select("url", F.col("fp").alias("seen_fp")), "url", "full_outer"
+        )
+        .where(
+            F.col("seen_fp").isNull()
+            | F.col("fp").isNull()
+            | (F.col("fp") != F.col("seen_fp"))
+        )
     )
-    edited = (
-        seen.withColumnRenamed("fp", "seen_fp")
-        .join(signatures.select("url", "fp"), "url")
-        .where(F.col("fp") != F.col("seen_fp"))
-        .select("url")
-    )
-    return new_sigs, removed.union(edited)
+
+
+def drift_new(drift: DataFrame) -> DataFrame:
+    """Appended docs' signature rows (columns as in `signatures`)."""
+    return drift.where(F.col("seen_fp").isNull()).drop("seen_fp")
+
+
+def drift_violations(drift: DataFrame) -> DataFrame:
+    """Removed ∪ edited urls; non-empty ⇒ retraction or full rebuild."""
+    return drift.where(
+        F.col("fp").isNull() | (F.col("fp") != F.col("seen_fp"))
+    ).select("url")
 
 
 def pairs_touching(cands: DataFrame, new_urls: DataFrame) -> DataFrame:
@@ -168,8 +182,37 @@ def delta_lsh_candidates(
     return touching, flagged
 
 
+def _driver_union_find(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Min-root union-find with path compression — the driver-side CC for
+    append-sized contraction graphs. Roots are kept lexicographically
+    minimal, so the labeling equals ``connected_components``' min-label
+    fixpoint exactly."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            continue
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+    return {n: find(n) for n in parent}
+
+
 def cluster_label_delta(
-    old_clusters: DataFrame, new_edges: DataFrame
+    old_clusters: DataFrame,
+    new_edges: DataFrame,
+    driver_cc_max: int = 200_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental connected components by cluster contraction.
 
@@ -190,9 +233,14 @@ def cluster_label_delta(
 
     Shuffle shape: the ONLY touch of the corpus-sized clusters table here is
     one map-side semi-join (broadcast endpoint set) to look up endpoint
-    labels; the pairs table is never read. → (remap(url=old_label,
-    label=new_label) — changed labels only, broadcastable by the caller's
-    size guard; node_labels(url, label) over every contraction node)."""
+    labels; the pairs table is never read. The contraction graph is bounded
+    by the APPEND's new edges — never corpus-proportional — so below
+    ``driver_cc_max`` edges it is collected and solved with a driver-side
+    union-find (one job instead of the iterative CC's O(log d) checkpointed
+    rounds); a merge cascade past the guard falls back to the distributed
+    CC. → (remap(url=old_label, label=new_label) — changed labels only,
+    broadcastable by the caller's size guard; node_labels(url, label) over
+    every contraction node)."""
     from near_duplicate_detection_spark.operators.connected_components import (
         connected_components,
     )
@@ -228,8 +276,17 @@ def cluster_label_delta(
         )
         .where(F.col("url_a") != F.col("url_b"))
         .dropDuplicates(["url_a", "url_b"])
+        .localCheckpoint()
     )
-    node_labels = connected_components(contracted)
+    if contracted.count() <= driver_cc_max:
+        lab_map = _driver_union_find(
+            [(r["url_a"], r["url_b"]) for r in contracted.collect()]
+        )
+        node_labels = old_clusters.sparkSession.createDataFrame(
+            list(lab_map.items()), schema="url string, label string"
+        )
+    else:
+        node_labels = connected_components(contracted)
     remap = node_labels.where(F.col("url") != F.col("label"))
     return remap, node_labels
 

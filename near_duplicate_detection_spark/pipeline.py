@@ -118,6 +118,15 @@ class NDDPipeline:
         appended, edited, or shrunken snapshot refreshes exactly the changed
         buckets, and a bucket whose docs all vanished is dropped (the
         reference drops deleted videos on update, ndd/server_ndd.py:246-261).
+
+        PURE-APPEND fast path (same checksum algebra as stage 1's): appends
+        hash uniformly into ALL buckets, so the bucket-granular rewrite
+        above degenerates to a full-corpus rewrite for a 1% append. A
+        drifted bucket whose NEW urls alone account for its (rows, checksum)
+        delta has every old row byte-unchanged → append only the new rows
+        (an O(append) write instead of O(corpus); the remaining O(corpus)
+        cost is the stats scan + new-url anti-join, which Iceberg snapshot
+        diffing replaces in production per the note above).
         """
         cfg, cat = self.cfg, self.catalog
         h = cfg.stage1_hash()
@@ -132,12 +141,57 @@ class NDDPipeline:
         if not pending:
             return
         nonempty = [b for b in pending if b in stats]
-        if nonempty:
-            with_bucket = pages.withColumn("bucket", self._bucket_expr())
-            if len(nonempty) < cfg.num_buckets:
-                with_bucket = with_bucket.where(
-                    F.col("bucket").isin([int(b) for b in nonempty])
+        with_bucket = pages.withColumn("bucket", self._bucket_expr())
+        appended: set[int] = set()
+        append_cand = [
+            b
+            for b in nonempty
+            if resume and b in done and stats[b][0] > done[b][0]
+        ]
+        if append_cand and cat.exists("pages"):
+            cand = with_bucket.where(
+                F.col("bucket").isin([int(b) for b in append_cand])
+            ).withColumn("h", F.xxhash64("url", "text"))
+            new_rows = cand.join(
+                self.pages_table()
+                .where(F.col("bucket").isin([int(b) for b in append_cand]))
+                .select("url"),
+                "url",
+                "left_anti",
+            ).localCheckpoint()
+            delta_stats = {
+                int(r["bucket"]): (int(r["rows"]), _wrap64(int(r["cks"])))
+                for r in new_rows.groupBy("bucket")
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.sum(F.col("h").cast("decimal(38,0)")).alias("cks"),
                 )
+                .collect()
+            }
+            for b in append_cand:
+                want = (
+                    stats[b][0] - done[b][0],
+                    _wrap64(stats[b][1] - done[b][1]),
+                )
+                if delta_stats.get(b) == want:
+                    appended.add(b)
+            if appended:
+                cat.write(
+                    new_rows.where(
+                        F.col("bucket").isin([int(b) for b in appended])
+                    )
+                    .drop("h")
+                    .repartition("bucket"),
+                    "pages",
+                    partition_by=["bucket"],
+                    mode="append",
+                    max_records_per_file=2048,
+                )
+        full = [b for b in nonempty if b not in appended]
+        if full:
+            todo = with_bucket
+            if len(full) < cfg.num_buckets:
+                todo = todo.where(F.col("bucket").isin([int(b) for b in full]))
             # bucket-PURE partitions: without this, every upstream task writes
             # a file into every bucket dir (tasks × buckets small files), and
             # every downstream partitioned write inherits the explosion. One
@@ -145,7 +199,7 @@ class NDDPipeline:
             # maxRecordsPerFile splits each bucket into several files so the
             # downstream map stages regain full read parallelism.
             cat.write(
-                with_bucket.repartition("bucket"),
+                todo.repartition("bucket"),
                 "pages",
                 partition_by=["bucket"],
                 max_records_per_file=2048,
@@ -503,6 +557,8 @@ class NDDPipeline:
             classify_drift,
             delta_exact,
             delta_lsh_candidates,
+            drift_new,
+            drift_violations,
         )
 
         cfg, cat = self.cfg, self.catalog
@@ -544,8 +600,11 @@ class NDDPipeline:
         partial = processed.join(seen.select("url"), "url", "left_anti")
         if partial.limit(1).count():
             return False  # partial prior delta state → full path
-        new_sigs, violations = classify_drift(sigs, seen)
-        violations = violations.localCheckpoint()
+        # ONE corpus-scan job classifies all drift (append/edit/delete);
+        # the checkpointed frame is drift-sized and feeds both splits
+        drift = classify_drift(sigs, seen).localCheckpoint()
+        violations = drift_violations(drift)
+        new_sigs = drift_new(drift)
         if violations.limit(1).count():
             # edit/delete drift: targeted retraction (drop or rep-substitute
             # the drifted urls' rows across the stage tables), after which
@@ -558,7 +617,7 @@ class NDDPipeline:
             ):
                 return False  # retraction emptied a core table → full path
             seen = cat.read("seen").select("url", "fp")
-            new_sigs, _ = classify_drift(sigs, seen)
+            new_sigs = drift_new(classify_drift(sigs, seen))
         new_sigs = new_sigs.localCheckpoint()
         n_new = new_sigs.count()
         if n_new == 0:
