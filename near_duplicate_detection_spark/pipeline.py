@@ -217,6 +217,17 @@ class NDDPipeline:
             wall_ms,
             checksums={b: stats.get(b, (0, 0))[1] for b in pending},
         )
+        cat.add_metrics(
+            "pages",
+            {
+                "buckets_appended": len(appended),
+                "buckets_rewritten": len(full),
+                "appended_docs_ingested": sum(
+                    stats[b][0] - done[b][0] for b in appended
+                ),
+                "wall_ms": wall_ms,
+            },
+        )
 
     def pages_table(self) -> DataFrame:
         return self.catalog.read("pages")

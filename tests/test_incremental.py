@@ -85,6 +85,18 @@ def test_incremental_used_delta_path(incremental_built):
         == N2 - N1
     )
     assert sig[sig.key == "buckets_appended"].value.astype(int).sum() > 0
+    # stage 0 must have used ITS pure-append fast path too: only the initial
+    # full build rewrote buckets (appends hash into every bucket, so without
+    # the fast path each incremental run would rewrite the whole pages table)
+    pg = metrics[metrics.stage == "pages"]
+    assert (
+        pg[pg.key == "buckets_rewritten"].value.astype(int).sum()
+        == CFG.num_buckets
+    )
+    assert (
+        pg[pg.key == "appended_docs_ingested"].value.astype(int).sum()
+        == N2 - N1
+    )
     # stage 3 must have used its DELTA path on every incremental run — the
     # contraction consumes only the logged appended edges, never the full
     # pairs ∪ substring_pairs edge set (round-3 incremental clustering)
