@@ -66,24 +66,45 @@ def _run_pipeline(
             shutil.rmtree(base, ignore_errors=True)
 
 
-def _measure_incremental(spark, cfg, base: str, n_docs: int) -> dict:
-    """Append 10% more docs to the kept catalog and time run_incremental
-    (delta stage 2) — reported OUTSIDE the headline total: it measures the
-    append path, not the full-build throughput the baseline compares."""
+def _measure_incremental(
+    spark, cfg, base: str, n_docs: int, passes: int = 2
+) -> dict:
+    """Append 10% more docs and time run_incremental — reported OUTSIDE the
+    headline total: it measures the append path, not the full-build
+    throughput the baseline compares. Same min-of-passes protocol as every
+    other leg (the host's supply episodes hit single-shot measurements
+    hardest): each pass runs against a fresh HARDLINK copy of the kept
+    catalog (appends only add files; nothing rewrites parquet in place, so
+    the copies share bytes safely), and the repeat is skipped when the
+    first pass already exceeds the wall guard."""
+    import subprocess
+
     from near_duplicate_detection_spark.pipeline import NDDPipeline
     from near_duplicate_detection_spark.sources.pages import generate_pages
 
     n_after = int(n_docs * 1.1)
+    appended = n_after - n_docs
+    walls = []
     try:
-        pipe = NDDPipeline(spark, cfg, base)
-        t0 = time.monotonic()
-        pipe.run_incremental(generate_pages(spark, n_after))
-        wall = time.monotonic() - t0
-        appended = n_after - n_docs
+        for i in range(max(passes, 1)):
+            work = f"{base}_inc{i}"
+            shutil.rmtree(work, ignore_errors=True)
+            subprocess.run(["cp", "-al", base, work], check=True)
+            try:
+                pipe = NDDPipeline(spark, cfg, work)
+                t0 = time.monotonic()
+                pipe.run_incremental(generate_pages(spark, n_after))
+                walls.append(time.monotonic() - t0)
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+            if walls[-1] > _guard(PIPELINE_GUARD_S, n_docs / 400_000):
+                break
+        wall = min(walls)
         return {
             "incremental_appended_docs": appended,
             "incremental_append_sec": round(wall, 3),
             "incremental_docs_per_sec": round(appended / wall, 1),
+            "incremental_passes": len(walls),
         }
     finally:
         shutil.rmtree(base, ignore_errors=True)
