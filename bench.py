@@ -149,14 +149,19 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # ---- headline: full near-dup pipeline over synthetic pages (~400k*sf docs)
-    n_docs = max(int(400_000 * sf), 2_000)
+    # SPARK_GRAFT_DOCS overrides the dedup corpus size independently of the
+    # sf dir (the driver tables only go up to sf0.1 — a scale-bumped dedup
+    # run reuses the sf0.1 tables for the contract-query legs)
+    n_docs = int(
+        os.environ.get("SPARK_GRAFT_DOCS", max(int(400_000 * sf), 2_000))
+    )
     cfg = NDDConfig()
     pass_counts = {"pipeline": 1, "queries": 1}
     t0 = time.monotonic()
     kept = _run_pipeline(spark, cfg, n_docs, timings, keep=passes == 1)
     first_pass = time.monotonic() - t0
     for i in range(passes - 1):
-        if first_pass > _guard(PIPELINE_GUARD_S, sf):
+        if first_pass > _guard(PIPELINE_GUARD_S, n_docs / 400_000):
             break
         kept = _run_pipeline(
             spark, cfg, n_docs, timings, keep=i == passes - 2
