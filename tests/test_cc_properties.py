@@ -58,6 +58,28 @@ def test_cc_matches_union_find(spark, edges):
     assert got == want
 
 
+@settings(max_examples=200, deadline=None)
+@given(edges_strategy)
+def test_driver_union_find_matches_oracle_and_min_label(edges):
+    """The driver-side union-find (cluster_label_delta's small-graph fast
+    path) must produce the oracle's partition AND label every node with the
+    lexicographic component MIN — the invariant that makes the contraction
+    delta equal a full connected_components rebuild. Pure Python: no Spark."""
+    from near_duplicate_detection_spark.operators.delta import (
+        _driver_union_find,
+    )
+
+    labels = _driver_union_find([(f"n{a}", f"n{b}") for a, b in edges])
+    groups: dict[str, set[str]] = {}
+    for node, label in labels.items():
+        groups.setdefault(label, set()).add(node)
+    assert {frozenset(g) for g in groups.values()} == {
+        frozenset(g) for g in _oracle(edges).values()
+    }
+    for label, members in groups.items():
+        assert label == min(members)
+
+
 def test_cc_long_chain_converges(spark):
     """A 200-node path graph: diameter ≫ pointer-jumping rounds — must still
     converge to one component within max_iter."""
