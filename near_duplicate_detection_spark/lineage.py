@@ -145,6 +145,20 @@ class StageCatalog:
         }[op]
         return ds.count_rows(filter=f)
 
+    def distinct_values(self, table: str, column: str) -> set:
+        """Distinct values of one column read driver-side via pyarrow — for
+        tiny control columns (e.g. the delta-state cfg_hash stamp) where a
+        Spark job costs more than the data. Returns empty set when the
+        column is absent."""
+        import pyarrow.compute as pc
+
+        ds = pads.dataset(self.path(table), format="parquet")
+        if column not in ds.schema.names:
+            return set()
+        return set(
+            pc.unique(ds.to_table(columns=[column]).column(column)).to_pylist()
+        )
+
     def drop_partition(self, table: str, bucket: int) -> None:
         """Remove one bucket partition dir (delete handling: a bucket whose
         input rows all vanished is never rewritten by dynamic overwrite)."""

@@ -582,19 +582,14 @@ class NDDPipeline:
             return False  # no prior full run to delta against
         t0 = time.monotonic()
         sigs = cat.read("signatures").select("url", "fp", "bands", "simhash")
-        seen_raw = cat.read("seen")
         # param-drift guard: delta state built under DIFFERENT stage-2
         # params must not be extended or re-committed (a param change with
         # zero appended docs would otherwise mark the stale pairs complete
-        # under the new hash)
-        stamp = (
-            seen_raw.select("cfg_hash").first()
-            if "cfg_hash" in seen_raw.columns
-            else None
-        )
-        if stamp is None or stamp[0] != cfg.stage2_hash():
+        # under the new hash). Footer-level pyarrow read — no Spark job —
+        # and stricter than a first()-row probe: MIXED stamps also refuse.
+        if cat.distinct_values("seen", "cfg_hash") != {cfg.stage2_hash()}:
             return False
-        seen = seen_raw.select("url", "fp")
+        seen = cat.read("seen").select("url", "fp")
         # crash-idempotence guard: the delta appends pairs → reps → seen in
         # that order without an atomic commit; a killed run leaves processed
         # urls in pairs/reps that `seen` doesn't cover, and retrying the
@@ -880,16 +875,11 @@ class NDDPipeline:
             return False
         t0 = time.monotonic()
         reps = cat.read("reps").select("url")
-        seen_raw = cat.read("seen_2b")
-        # param-drift guard (same convention as stage 2's delta)
-        stamp = (
-            seen_raw.select("cfg_hash").first()
-            if "cfg_hash" in seen_raw.columns
-            else None
-        )
-        if stamp is None or stamp[0] != cfg.stage2b_hash():
+        # param-drift guard (same convention as stage 2's delta): footer-
+        # level stamp read, no Spark job, mixed stamps refuse
+        if cat.distinct_values("seen_2b", "cfg_hash") != {cfg.stage2b_hash()}:
             return False
-        seen = seen_raw.select("url")
+        seen = cat.read("seen_2b").select("url")
         # crash-idempotence + shrink guard (same convention as stage 2):
         # window_index urls or substring-pair urls not covered by seen_2b ⇒
         # partial prior append; seen_2b urls no longer reps ⇒ rewrite drift
