@@ -146,18 +146,46 @@ class StageCatalog:
         return ds.count_rows(filter=f)
 
     def distinct_values(self, table: str, column: str) -> set:
-        """Distinct values of one column read driver-side via pyarrow — for
-        tiny control columns (e.g. the delta-state cfg_hash stamp) where a
-        Spark job costs more than the data. Returns empty set when the
-        column is absent."""
-        import pyarrow.compute as pc
+        """Distinct values of a CONSTANT-PER-FILE control column (the
+        delta-state cfg_hash stamp) from parquet row-group STATISTICS only —
+        no data pages are decoded, so the cost is footer reads regardless of
+        row count. Every row group contributes its (min, max) bounds: a
+        constant column has min == max == the value, so the result set stays
+        exact; any within-group variation widens the set to ≥2 members,
+        which is all the stamp-guard callers need (equality against one
+        expected value refuses on mixed stamps). A group with NULLs or
+        missing/truncated statistics contributes a ``None`` sentinel —
+        strictly conservative, the guard refuses. Returns an empty set when
+        the column is absent. (Round-3 shipped this as a full-column
+        ``to_table`` pull — an O(corpus) driver read over the one-row-per-url
+        seen/seen_2b tables; stats bound the cost by file count instead.)
 
+        Stats-truncation note: parquet writers may truncate min/max for long
+        binary values (parquet-mr truncates above 64 bytes); the cfg_hash
+        stamp is 16 ASCII chars, far below every writer's threshold."""
         ds = pads.dataset(self.path(table), format="parquet")
         if column not in ds.schema.names:
             return set()
-        return set(
-            pc.unique(ds.to_table(columns=[column]).column(column)).to_pylist()
-        )
+        out: set = set()
+        for frag in ds.get_fragments():
+            md = frag.metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ci = names.index(column)
+            for rg in range(md.num_row_groups):
+                grp = md.row_group(rg)
+                if grp.num_rows == 0:
+                    continue
+                st = grp.column(ci).statistics
+                if (
+                    st is None
+                    or not st.has_min_max
+                    or (st.null_count or 0) > 0
+                ):
+                    out.add(None)
+                    continue
+                out.add(st.min)
+                out.add(st.max)
+        return out
 
     def drop_partition(self, table: str, bucket: int) -> None:
         """Remove one bucket partition dir (delete handling: a bucket whose
