@@ -37,6 +37,16 @@ class NDDConfig:
     substring_anchor_gram: int = 8   # g-gram whose hash picks anchor positions
     substring_anchor_mod: int = 16   # anchor density: 1 per `mod` chars expected
     substring_min_len: int = 200     # min shared run to link a pair
+    # --- incremental execution strategy (NOT semantics) ---
+    # These bound WHICH plan the incremental paths pick (targeted retraction
+    # vs full rebuild; driver union-find vs distributed CC; broadcast remap
+    # vs full re-cluster) — never what the committed result contains. They
+    # are therefore deliberately EXCLUDED from every stage hash: changing
+    # them must not invalidate resume state (contrast bucket_pair_ceiling,
+    # which changes the output pair set and so chains into stage2/2b hashes).
+    max_retract: int = 100_000       # retraction size ceiling (broadcast map)
+    max_remap: int = 2_000_000       # stage-3 dissolve/remap broadcast ceiling
+    driver_cc_max: int = 200_000     # contraction edges solved driver-side
     # --- layout ---
     # url-hash partitions for lineage granularity. ≥2× the largest local core
     # count (and thousands on a real cluster): stage-0/1 partitioned writes
@@ -70,9 +80,16 @@ class NDDConfig:
         return self._hash({k: d[k] for k in keys}, upstream=self.stage1_hash())
 
     def stage2b_hash(self) -> str:
+        # max_bucket_size / bucket_pair_ceiling chain here too: stage 2b's
+        # OUTPUT depends on them through the shared over_ceiling predicate
+        # (window buckets above either limit route differently), so changing
+        # them must invalidate substring_pairs — the same
+        # params-that-change-output rule that put bucket_pair_ceiling into
+        # stage2_hash in round 2.
         d = asdict(self)
         keys = ("substring_window", "substring_anchor_gram",
-                "substring_anchor_mod", "substring_min_len")
+                "substring_anchor_mod", "substring_min_len",
+                "max_bucket_size", "bucket_pair_ceiling")
         return self._hash({k: d[k] for k in keys}, upstream=self.stage1_hash())
 
     def stage3_hash(self) -> str:

@@ -550,7 +550,7 @@ class NDDPipeline:
             },
         )
 
-    def stage2_pairs_delta(self, max_retract: int = 100_000) -> bool:
+    def stage2_pairs_delta(self, max_retract: int | None = None) -> bool:
         """Incremental stage 2 (operators/delta.py): new docs' pairs are
         computed against the existing reps/pairs state instead of re-running
         the corpus-wide band groupBy. Edited/deleted docs are handled by a
@@ -573,6 +573,8 @@ class NDDPipeline:
         )
 
         cfg, cat = self.cfg, self.catalog
+        if max_retract is None:
+            max_retract = cfg.max_retract
         if self._retract_inflight():
             return False  # crashed mid-retraction → stage tables suspect
         h = self.stage2_run_hash()
@@ -698,7 +700,7 @@ class NDDPipeline:
             pass
 
     def _stage2_retract(
-        self, retracted: DataFrame, max_retract: int = 100_000
+        self, retracted: DataFrame, max_retract: int | None = None
     ) -> bool:
         """Retract edited/deleted urls from every stage-2/2b table so the
         append delta can take over (reference: ``update_index`` removes a
@@ -728,6 +730,8 @@ class NDDPipeline:
         )
 
         cat = self.catalog
+        if max_retract is None:
+            max_retract = self.cfg.max_retract
         retracted = retracted.select("url").distinct().localCheckpoint()
         n_ret = retracted.count()
         if n_ret > max_retract:
@@ -965,13 +969,19 @@ class NDDPipeline:
             )
         labels = connected_components(edges)
         clusters = clusters_table(labels, self.pages_table().select("url"))
-        cat.write(clusters, "clusters")
-        # the full build consumed everything the append log covered — wipe
-        # it so a later delta never re-applies superseded edges
+        # wipe the append log BEFORE the clusters write (the stage-2/2b
+        # convention): the full build consumes everything the log covered,
+        # and a crash in the wipe-after-write window would leave a clusters
+        # table that already incorporates the logged edges NEXT TO an intact
+        # log — the delta's guards would then re-apply the log onto the
+        # updated table (duplicate url rows). Wipe-first means a crash
+        # anywhere after it routes the retry to this full path (no log ⇒
+        # delta refuses), whose overwrite is idempotent.
         import shutil as _shutil
 
         for t in self._STAGE3_LOG_TABLES:
             _shutil.rmtree(cat.path(t), ignore_errors=True)
+        cat.write(clusters, "clusters")
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("clusters")
         cat.mark_complete("clusters", h, {-1: n}, wall_ms)
@@ -984,7 +994,7 @@ class NDDPipeline:
             },
         )
 
-    def stage3_clusters_delta(self, max_remap: int = 2_000_000) -> bool:
+    def stage3_clusters_delta(self, max_remap: int | None = None) -> bool:
         """Incremental clustering from the append/retract logs.
 
         Append half: contracts the logged new edges (edges_new) to the
@@ -1021,6 +1031,8 @@ class NDDPipeline:
         )
 
         cat = self.catalog
+        if max_remap is None:
+            max_remap = self.cfg.max_remap
         if self._retract_inflight():
             return False  # crashed mid-retraction → stage tables suspect
         h = self.stage3_run_hash()
@@ -1084,7 +1096,9 @@ class NDDPipeline:
             combined = combined.dropDuplicates(["url_a", "url_b"])
             # frontier members are NOT in base_old, so the contraction keeps
             # them as raw nodes and re-derives their labels from scratch
-            remap, node_labels = cluster_label_delta(base_old, combined)
+            remap, node_labels = cluster_label_delta(
+                base_old, combined, driver_cc_max=self.cfg.driver_cc_max
+            )
             remap = remap.localCheckpoint()
             if remap.count() > max_remap:
                 return False  # merge cascade too wide to broadcast → full CC

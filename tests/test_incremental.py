@@ -331,3 +331,46 @@ def test_delete_retracts_and_matches_full(spark, tmp_path_factory):
     assert len(cl_retr) == 1 and int(cl_retr.value.iloc[0]) == 30
     for t in ("edges_new", "urls_new", "urls_retracted"):
         assert not pipe.catalog.exists(t)
+
+
+def test_stage3_full_crash_after_clusters_write_never_reapplies_log(
+    spark, tmp_path_factory, monkeypatch
+):
+    """ADVICE r3: the full stage 3 must wipe the append log BEFORE writing
+    clusters. A crash right after the write then leaves NO log (retry routes
+    to the idempotent full path) — the old write-then-wipe order left an
+    intact log next to a clusters table that already incorporated it, and a
+    retry's delta would union the logged urls in a second time."""
+    from near_duplicate_detection_spark.lineage import StageCatalog
+
+    base = str(tmp_path_factory.mktemp("ndd_s3crash"))
+    pipe = NDDPipeline(spark, CFG, base)
+    pipe.run(generate_pages(spark, 100))
+
+    # append via the stage-2/2b deltas, but force stage 3 down the FULL path
+    # with the log still present (max_remap=0 refuses any merge remap — an
+    # execution knob, so the committed state stays valid under it)
+    forced = NDDPipeline(spark, NDDConfig(num_buckets=4, max_remap=0), base)
+    orig_write = StageCatalog.write
+
+    def write_then_crash(self, df, table, **kw):
+        orig_write(self, df, table, **kw)
+        if table == "clusters":
+            raise RuntimeError("simulated crash after clusters write")
+
+    monkeypatch.setattr(StageCatalog, "write", write_then_crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        forced.run_incremental(generate_pages(spark, 110))
+    monkeypatch.setattr(StageCatalog, "write", orig_write)
+
+    # the fix's signature: the log is already gone at the crash point
+    assert not pipe.catalog.exists("edges_new")
+    assert not pipe.catalog.exists("urls_new")
+
+    clusters = pipe.run_incremental(generate_pages(spark, 110)).toPandas()
+    assert len(clusters) == 110
+    assert clusters.url.nunique() == 110  # never duplicate url rows
+    full = NDDPipeline(
+        spark, CFG, str(tmp_path_factory.mktemp("ndd_s3crash_full"))
+    ).run(generate_pages(spark, 110)).toPandas()
+    assert _partition(clusters) == _partition(full)
