@@ -66,46 +66,109 @@ def _run_pipeline(
             shutil.rmtree(base, ignore_errors=True)
 
 
-def _measure_incremental(
-    spark, cfg, base: str, n_docs: int, passes: int = 2
-) -> dict:
-    """Append 10% more docs and time run_incremental — reported OUTSIDE the
-    headline total: it measures the append path, not the full-build
-    throughput the baseline compares. Same min-of-passes protocol as every
-    other leg (the host's supply episodes hit single-shot measurements
-    hardest): each pass runs against a fresh HARDLINK copy of the kept
-    catalog (appends only add files; nothing rewrites parquet in place, so
-    the copies share bytes safely), and the repeat is skipped when the
-    first pass already exceeds the wall guard."""
+def _timed_leg(spark, cfg, base: str, fn, n_docs: int, passes: int) -> tuple:
+    """min-of-passes wall for one incremental leg. Each pass runs ``fn(pipe)``
+    against a fresh HARDLINK copy of the kept catalog (incremental paths only
+    add files or rewrite whole table dirs via fresh writes; nothing mutates
+    parquet bytes in place, so the copies share bytes safely); the repeat is
+    skipped when the first pass already exceeds the wall guard."""
     import subprocess
 
     from near_duplicate_detection_spark.pipeline import NDDPipeline
+
+    walls = []
+    for i in range(max(passes, 1)):
+        work = f"{base}_leg{i}"
+        shutil.rmtree(work, ignore_errors=True)
+        subprocess.run(["cp", "-al", base, work], check=True)
+        try:
+            pipe = NDDPipeline(spark, cfg, work)
+            t0 = time.monotonic()
+            fn(pipe)
+            walls.append(time.monotonic() - t0)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        if walls[-1] > _guard(PIPELINE_GUARD_S, n_docs / 400_000):
+            break
+    return min(walls), len(walls)
+
+
+def _measure_incremental(
+    spark, cfg, base: str, n_docs: int, passes: int = 2
+) -> dict:
+    """Incremental-path legs — reported OUTSIDE the headline total (they
+    measure the change paths, not the full-build throughput the baseline
+    compares). Four legs, min-of-passes each:
+
+      incremental_append_sec   run_incremental on a 110% snapshot (the engine
+                               INFERS the 10% append — control-plane scans
+                               of the corpus included)
+      append_pages_sec         the same 10% batch via append_pages (caller
+                               hands exactly the appended rows — the
+                               O(append) entry point; the gap between these
+                               two legs is the price of drift inference)
+      retract_edit_sec         run_incremental on a snapshot where ~10% of
+                               docs changed text (targeted retraction +
+                               re-append path)
+      retract_delete_sec       run_incremental on a snapshot with ~10% of
+                               docs removed (targeted retraction, dissolve +
+                               re-cluster path)
+    """
+    from pyspark.sql import functions as F
+
     from near_duplicate_detection_spark.sources.pages import generate_pages
 
     n_after = int(n_docs * 1.1)
     appended = n_after - n_docs
-    walls = []
+    # ~10% pseudo-random subset, deterministic in the url
+    is_touched = F.pmod(F.xxhash64("url"), F.lit(10)) == 0
+    out: dict = {"incremental_appended_docs": appended}
+    legs = (
+        (
+            "incremental_append_sec",
+            lambda p: p.run_incremental(generate_pages(spark, n_after)),
+        ),
+        (
+            "append_pages_sec",
+            lambda p: p.append_pages(
+                generate_pages(spark, n_after, start=n_docs)
+            ),
+        ),
+        (
+            "retract_edit_sec",
+            lambda p: p.run_incremental(
+                generate_pages(spark, n_docs).withColumn(
+                    "text",
+                    F.when(
+                        is_touched, F.concat(F.col("text"), F.lit(" zzedit"))
+                    ).otherwise(F.col("text")),
+                )
+            ),
+        ),
+        (
+            "retract_delete_sec",
+            lambda p: p.run_incremental(
+                generate_pages(spark, n_docs).where(~is_touched)
+            ),
+        ),
+    )
     try:
-        for i in range(max(passes, 1)):
-            work = f"{base}_inc{i}"
-            shutil.rmtree(work, ignore_errors=True)
-            subprocess.run(["cp", "-al", base, work], check=True)
+        for key, fn in legs:
             try:
-                pipe = NDDPipeline(spark, cfg, work)
-                t0 = time.monotonic()
-                pipe.run_incremental(generate_pages(spark, n_after))
-                walls.append(time.monotonic() - t0)
-            finally:
-                shutil.rmtree(work, ignore_errors=True)
-            if walls[-1] > _guard(PIPELINE_GUARD_S, n_docs / 400_000):
-                break
-        wall = min(walls)
-        return {
-            "incremental_appended_docs": appended,
-            "incremental_append_sec": round(wall, 3),
-            "incremental_docs_per_sec": round(appended / wall, 1),
-            "incremental_passes": len(walls),
-        }
+                wall, n_passes = _timed_leg(spark, cfg, base, fn, n_docs, passes)
+                out[key] = round(wall, 3)
+                out[key + "_passes"] = n_passes
+            except Exception as e:  # noqa: BLE001
+                out[key + "_skipped"] = f"error: {e}"[:200]
+        if "incremental_append_sec" in out:
+            out["incremental_docs_per_sec"] = round(
+                appended / out["incremental_append_sec"], 1
+            )
+        if "append_pages_sec" in out:
+            out["append_pages_docs_per_sec"] = round(
+                appended / out["append_pages_sec"], 1
+            )
+        return out
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

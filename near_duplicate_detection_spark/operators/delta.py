@@ -109,8 +109,17 @@ def delta_exact(
     cluster partition identical to a full rebuild, which would re-pick
     min(url) and merely re-shape the star). Unmatched fps form fresh groups
     among themselves. → (exact_edges(url_a, url_b, jaccard=1.0),
-    new_reps(signature rows — one per fresh fp))."""
-    joined = new_sigs.join(rep_map, "fp", "left")
+    new_reps(signature rows — one per fresh fp)).
+
+    Shuffle shape: rep_map is corpus-sized, so a plain left join would
+    shuffle the whole reps table on fp for every append. Instead the
+    append's fps (broadcast) semi-probe rep_map map-side — an O(corpus)
+    READ but zero shuffle — and the append-sized hit set broadcasts back
+    onto new_sigs. The broadcast is bounded by the APPEND batch, the same
+    contract the stage-3 delta already makes for its endpoint set."""
+    new_fps = new_sigs.select("fp").distinct()
+    hit_reps = rep_map.join(F.broadcast(new_fps), "fp", "left_semi")
+    joined = new_sigs.join(F.broadcast(hit_reps), "fp", "left")
     matched = (
         joined.where(F.col("rep").isNotNull())
         # belt: a url that somehow already IS the rep (partial prior state)
@@ -148,9 +157,11 @@ def delta_lsh_candidates(
     keys = new_bands.select("band_id", "band_hash").distinct()
     # equi-joins move the join keys to the FRONT of the column order —
     # re-select explicitly before every positional union in this function
+    # broadcast the append-sized key set: without the hint the semi-join
+    # shuffles the corpus-wide band explode on the band key every append
     old_members = (
         explode_bands(old_rep_sigs.select("url", "bands"))
-        .join(keys, ["band_id", "band_hash"], "left_semi")
+        .join(F.broadcast(keys), ["band_id", "band_hash"], "left_semi")
         .select("url", "band_id", "band_hash")
     )
     members = old_members.union(new_bands.select("url", "band_id", "band_hash"))
@@ -388,8 +399,10 @@ def delta_window_candidates(
     expanded in earlier runs are kept (recall ≥ full rebuild).
     → (candidate pairs, flagged(win_hash, bucket_size))."""
     keys = new_windows.select("win_hash").distinct()
+    # broadcast the append-sized key set: map-side probe of the persisted
+    # window index, never a corpus-wide shuffle on win_hash
     old_members = (
-        window_index.join(keys, "win_hash", "left_semi")
+        window_index.join(F.broadcast(keys), "win_hash", "left_semi")
         .select("url", "win_hash")
     )
     members = old_members.union(new_windows.select("url", "win_hash"))

@@ -66,6 +66,11 @@ class NDDPipeline:
         self.spark = spark
         self.cfg = cfg
         self.catalog = StageCatalog(spark, base_dir)
+        # appended rep urls from the last stage-2 delta in THIS process —
+        # threaded into stage2b_delta to skip its discovery anti-join; None
+        # means "unknown, discover". Never persisted: a fresh process always
+        # discovers.
+        self._appended_rep_urls: DataFrame | None = None
 
     # ---------- stage 0 ----------
 
@@ -460,7 +465,7 @@ class NDDPipeline:
             resume
             and cat.completed_partitions("pairs", h)
             and cat.exists("pairs")
-            and not self._retract_inflight()
+            and not self._delta_suspect()
         ):
             return
         t0 = time.monotonic()
@@ -519,9 +524,13 @@ class NDDPipeline:
         for t in wipe:
             _shutil.rmtree(cat.path(t), ignore_errors=True)
         cat.write(verified.unionByName(exact_edges), "pairs")
-        # reps carries fp → it doubles as the exact-group rep_map the delta
-        # path joins appended docs against (operators/delta.py)
-        cat.write(reps.select("url", "fp"), "reps")
+        # reps doubles as the delta path's INDEX: fp is the exact-group
+        # rep_map, bands/simhash let an append's LSH probe scan this table
+        # map-side instead of re-deriving the rep set by semi-joining the
+        # full signatures table against reps every delta run (an O(corpus)
+        # shuffle per append in round 3). Signatures are pure functions of
+        # text, so retraction rep-substitution keeps these columns exact.
+        cat.write(reps.select("url", "fp", "bands", "simhash"), "reps")
         # `seen` = the (url, fp) snapshot this stage processed, stamped with
         # the stage-2 PARAM hash so the delta path can reject state built
         # under different parameters. At Iceberg scale this is a snapshot
@@ -535,10 +544,11 @@ class NDDPipeline:
         wall_ms = int((time.monotonic() - t0) * 1000)
         n_pairs = cat.count_rows("pairs")
         cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
-        # the committed rebuild supersedes any crashed retraction — only
-        # HERE is the crash marker cleared (every delta entry point refuses
-        # while it is up)
+        # the committed rebuild supersedes any crashed retraction or delta
+        # append — only HERE are the crash markers cleared (every delta
+        # entry point refuses while either is up)
         self._clear_retract_inflight()
+        self._clear_marker("delta.inflight")
         cat.add_metrics(
             "pairs",
             {
@@ -566,8 +576,6 @@ class NDDPipeline:
         the delta keeps strictly MORE verified pairs (recall ≥ full)."""
         from near_duplicate_detection_spark.operators.delta import (
             classify_drift,
-            delta_exact,
-            delta_lsh_candidates,
             drift_new,
             drift_violations,
         )
@@ -575,8 +583,8 @@ class NDDPipeline:
         cfg, cat = self.cfg, self.catalog
         if max_retract is None:
             max_retract = cfg.max_retract
-        if self._retract_inflight():
-            return False  # crashed mid-retraction → stage tables suspect
+        if self._delta_suspect():
+            return False  # crashed retraction/delta append → tables suspect
         h = self.stage2_run_hash()
         if cat.completed_partitions("pairs", h):
             return True  # already current
@@ -589,25 +597,13 @@ class NDDPipeline:
         # zero appended docs would otherwise mark the stale pairs complete
         # under the new hash). Footer-level pyarrow read — no Spark job —
         # and stricter than a first()-row probe: MIXED stamps also refuse.
+        # (Crash-idempotence — partial appends from a killed delta — is the
+        # delta.inflight marker's job, checked at entry above; the round-3
+        # anti-join guard over reps ∪ pairs here cost two full edge-table
+        # scans per run for the same crash window.)
         if cat.distinct_values("seen", "cfg_hash") != {cfg.stage2_hash()}:
             return False
         seen = cat.read("seen").select("url", "fp")
-        # crash-idempotence guard: the delta appends pairs → reps → seen in
-        # that order without an atomic commit; a killed run leaves processed
-        # urls in pairs/reps that `seen` doesn't cover, and retrying the
-        # delta against that partial state would double-append (and the
-        # rep_map could even contain a doc's own fp → self-edges). Any
-        # processed url missing from seen ⇒ partial state ⇒ full rebuild
-        # (overwrite semantics make the full path retry-safe).
-        processed = (
-            cat.read("reps")
-            .select("url")
-            .union(cat.read("pairs").select(F.col("url_a").alias("url")))
-            .union(cat.read("pairs").select(F.col("url_b").alias("url")))
-        )
-        partial = processed.join(seen.select("url"), "url", "left_anti")
-        if partial.limit(1).count():
-            return False  # partial prior delta state → full path
         # ONE corpus-scan job classifies all drift (append/edit/delete);
         # the checkpointed frame is drift-sized and feeds both splits
         drift = classify_drift(sigs, seen).localCheckpoint()
@@ -630,12 +626,40 @@ class NDDPipeline:
         n_new = new_sigs.count()
         if n_new == 0:
             cat.mark_complete("pairs", h, {-1: cat.count_rows("pairs")}, 0)
+            self._appended_rep_urls = self.spark.createDataFrame(
+                [], "url string"
+            )
             return True
+        self._appended_rep_urls = self._stage2_apply_append(
+            new_sigs, n_new, h, t0
+        )
+        return True
+
+    def _stage2_apply_append(
+        self, new_sigs: DataFrame, n_new: int, h: str, t0: float
+    ) -> DataFrame:
+        """Shared append core of the stage-2 delta: compute the appended
+        docs' pairs against the persisted index state and append them to
+        every stage-2 table + the stage-3 log. ``new_sigs`` must be
+        materialized rows that are genuinely NEW (callers establish this —
+        ``stage2_pairs_delta`` via drift classification, ``append_pages``
+        via its caller contract). Returns the appended reps' urls (the
+        stage-2b delta's new-coverage set)."""
+        from near_duplicate_detection_spark.operators.delta import (
+            delta_exact,
+            delta_lsh_candidates,
+        )
+
+        cfg, cat = self.cfg, self.catalog
         reps_tbl = cat.read("reps")
         rep_map = reps_tbl.select("fp", F.col("url").alias("rep"))
         exact_edges, new_reps = delta_exact(new_sigs, rep_map)
         new_reps = new_reps.localCheckpoint()
-        old_rep_sigs = sigs.join(reps_tbl.select("url"), "url", "left_semi")
+        # the reps table IS the probe index (url, fp, bands, simhash): one
+        # map-side scan. Round 3 re-derived the rep signature set per run
+        # by semi-joining the full signatures table against reps — an
+        # O(corpus) shuffle on url for every append.
+        old_rep_sigs = reps_tbl.select("url", "bands", "simhash")
         cands, flagged = delta_lsh_candidates(old_rep_sigs, new_reps, cfg)
         cands = cands.localCheckpoint()
         sets = candidate_shingle_sets(
@@ -648,6 +672,10 @@ class NDDPipeline:
         # evaluate the flagged metric BEFORE the appends below mutate the
         # tables its lineage reads from (stale file-listing hazard)
         n_flagged = flagged.count()
+        # marker up across the multi-table appends (no atomic commit): a
+        # crash anywhere below leaves it set, so every later delta entry
+        # refuses and the idempotent full rebuild takes over
+        self._set_marker("delta.inflight")
         # stage-3 append log FIRST: a crash between the log write and the
         # pairs append leaves an over-complete log (retry re-appends → the
         # log dedups on read) — the reverse order could commit pairs whose
@@ -657,7 +685,11 @@ class NDDPipeline:
         )
         cat.write(new_sigs.select("url"), "urls_new", mode="append")
         cat.write(appended_pairs, "pairs", mode="append")
-        cat.write(new_reps.select("url", "fp"), "reps", mode="append")
+        cat.write(
+            new_reps.select("url", "fp", "bands", "simhash"),
+            "reps",
+            mode="append",
+        )
         cat.write(
             new_sigs.select("url", "fp").withColumn(
                 "cfg_hash", F.lit(cfg.stage2_hash())
@@ -668,6 +700,7 @@ class NDDPipeline:
         wall_ms = int((time.monotonic() - t0) * 1000)
         n_pairs = cat.count_rows("pairs")
         cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
+        self._clear_marker("delta.inflight")
         cat.add_metrics(
             "pairs",
             {
@@ -677,27 +710,59 @@ class NDDPipeline:
                 "wall_ms": wall_ms,
             },
         )
-        return True
+        return new_reps.select("url")
 
     # ---------- targeted retraction (edit/delete delta) ----------
 
-    def _retract_marker_path(self) -> str:
+    # Two write-ahead markers guard the multi-table delta mutations, which
+    # have no atomic commit: `retract.inflight` brackets a targeted
+    # retraction's table rewrites, `delta.inflight` brackets a delta run's
+    # table APPENDS (set before the first append, cleared after the stage's
+    # mark_complete). Either marker up ⇒ a crash may have left partial
+    # stage-table state ⇒ every delta entry point refuses and the full
+    # ``stage2_pairs`` rebuild (whose overwrite is idempotent) clears both.
+    # This file-exists check replaced the round-3 anti-join "partial" guards
+    # (reps ∪ pairs(a) ∪ pairs(b) vs seen, and the 2b mirror) — two full
+    # edge-table scans per delta run whose only purpose was detecting the
+    # same crash window the marker now brackets exactly.
+
+    def _marker_path(self, name: str) -> str:
         import os
 
-        return os.path.join(self.catalog.base_dir, "retract.inflight")
+        return os.path.join(self.catalog.base_dir, name)
 
-    def _retract_inflight(self) -> bool:
+    def _marker_up(self, name: str) -> bool:
         import os
 
-        return os.path.exists(self._retract_marker_path())
+        return os.path.exists(self._marker_path(name))
 
-    def _clear_retract_inflight(self) -> None:
+    def _set_marker(self, name: str) -> None:
+        with open(self._marker_path(name), "w") as f:
+            f.write("in progress\n")
+
+    def _clear_marker(self, name: str) -> None:
         import os
 
         try:
-            os.remove(self._retract_marker_path())
+            os.remove(self._marker_path(name))
         except FileNotFoundError:
             pass
+
+    def _retract_marker_path(self) -> str:
+        return self._marker_path("retract.inflight")
+
+    def _retract_inflight(self) -> bool:
+        return self._marker_up("retract.inflight")
+
+    def _clear_retract_inflight(self) -> None:
+        self._clear_marker("retract.inflight")
+
+    def _delta_suspect(self) -> bool:
+        """True when a crashed retraction OR a crashed delta append may have
+        left partial stage-table state — every delta entry point refuses."""
+        return self._marker_up("retract.inflight") or self._marker_up(
+            "delta.inflight"
+        )
 
     def _stage2_retract(
         self, retracted: DataFrame, max_retract: int | None = None
@@ -848,25 +913,27 @@ class NDDPipeline:
             },
         )
 
-    def stage2b_delta(self) -> bool:
+    def stage2b_delta(self, new_urls: DataFrame | None = None) -> bool:
         """Append-only incremental stage 2b: new reps' anchored windows probe
         the persisted window_index (operators/delta.py
         delta_window_candidates) instead of re-fingerprinting the corpus.
         Returns True if the delta ran (or nothing changed); False when there
         is no valid delta state — caller runs the full stage2b_substring.
         The full stage-2 path wipes window_index/seen_2b, so an edit/delete
-        rebuild can never leave stale 2b delta state behind."""
-        from near_duplicate_detection_spark.operators.delta import (
-            delta_window_candidates,
-        )
-        from near_duplicate_detection_spark.operators.substring import (
-            DOC_WINDOWS_SCHEMA,
-            window_fingerprint_fn,
-        )
+        rebuild can never leave stale 2b delta state behind.
 
+        ``new_urls``: the appended reps' urls when the caller already knows
+        them (the stage-2 delta just computed them, or ``append_pages`` was
+        handed them) — skips the corpus×corpus discovery anti-join
+        reps ∖ seen_2b. Trust-but-verify: the threaded set equals that
+        difference iff prior state was consistent and exactly this batch
+        was appended, which footer-level row counts decide with zero Spark
+        jobs (|reps| = |seen_2b| + |new_urls|); a mismatch (e.g. 2b skipped
+        for several batches via substring_pass=False) falls back to the
+        discovery join."""
         cfg, cat = self.cfg, self.catalog
-        if self._retract_inflight():
-            return False  # crashed mid-retraction → stage tables suspect
+        if self._delta_suspect():
+            return False  # crashed retraction/delta append → tables suspect
         h = self.stage2b_run_hash()
         if cat.completed_partitions("substring_pairs", h):
             return True
@@ -878,34 +945,52 @@ class NDDPipeline:
         ):
             return False
         t0 = time.monotonic()
-        reps = cat.read("reps").select("url")
         # param-drift guard (same convention as stage 2's delta): footer-
-        # level stamp read, no Spark job, mixed stamps refuse
+        # level stamp read, no Spark job, mixed stamps refuse. Crash-
+        # idempotence is the delta.inflight marker's job (entry check) —
+        # the round-3 anti-join guards here scanned window_index,
+        # substring_pairs (twice) and seen_2b per run for the same window.
         if cat.distinct_values("seen_2b", "cfg_hash") != {cfg.stage2b_hash()}:
             return False
-        seen = cat.read("seen_2b").select("url")
-        # crash-idempotence + shrink guard (same convention as stage 2):
-        # window_index urls or substring-pair urls not covered by seen_2b ⇒
-        # partial prior append; seen_2b urls no longer reps ⇒ rewrite drift
-        sp = cat.read("substring_pairs")
-        covered = (
-            cat.read("window_index")
-            .select("url")
-            .union(sp.select(F.col("url_a").alias("url")))
-            .union(sp.select(F.col("url_b").alias("url")))
-        )
-        partial = covered.join(seen, "url", "left_anti")
-        shrunk = seen.join(reps, "url", "left_anti")
-        if partial.union(shrunk).limit(1).count():
-            return False
-        new_urls = reps.join(seen, "url", "left_anti").localCheckpoint()
-        n_new = new_urls.count()
+        if new_urls is not None:
+            n_new = new_urls.count()
+            if cat.count_rows("reps") != cat.count_rows("seen_2b") + n_new:
+                new_urls = None  # coverage lag → discover below
+        if new_urls is None:
+            new_urls = (
+                cat.read("reps")
+                .select("url")
+                .join(cat.read("seen_2b").select("url"), "url", "left_anti")
+                .localCheckpoint()
+            )
+            n_new = new_urls.count()
         if n_new == 0:
             cat.mark_complete(
                 "substring_pairs", h, {-1: cat.count_rows("substring_pairs")}, 0
             )
             return True
-        new_pages = self.pages_table().join(new_urls, "url", "left_semi")
+        self._stage2b_apply_append(new_urls, n_new, h, t0)
+        return True
+
+    def _stage2b_apply_append(
+        self, new_urls: DataFrame, n_new: int, h: str, t0: float
+    ) -> None:
+        """Shared append core of the stage-2b delta: fingerprint the new
+        docs' windows, probe the persisted window_index, verify, append.
+        ``new_urls`` must be materialized, append-sized, and genuinely new
+        (not covered by seen_2b)."""
+        from near_duplicate_detection_spark.operators.delta import (
+            delta_window_candidates,
+        )
+        from near_duplicate_detection_spark.operators.substring import (
+            DOC_WINDOWS_SCHEMA,
+            window_fingerprint_fn,
+        )
+
+        cfg, cat = self.cfg, self.catalog
+        new_pages = self.pages_table().join(
+            F.broadcast(new_urls), "url", "left_semi"
+        )
         new_windows = (
             new_pages.select("url", "text")
             .mapInPandas(window_fingerprint_fn(cfg), DOC_WINDOWS_SCHEMA)
@@ -915,17 +1000,30 @@ class NDDPipeline:
         cands, flagged = delta_window_candidates(
             cat.read("window_index"), new_windows, cfg
         )
-        # already-verified pairs (stage 2 or earlier 2b runs) skip the LCS
-        for prior in ("pairs", "substring_pairs"):
-            cands = cands.join(
-                cat.read(prior).select("url_a", "url_b"),
-                ["url_a", "url_b"],
-                "left_anti",
-            )
         cands = cands.localCheckpoint()
+        # already-verified pairs (stage 2 or earlier 2b runs) skip the LCS.
+        # The prior edge tables are corpus-dup-volume-sized: semi-probe them
+        # map-side with the (broadcast) candidate keys, then anti-join the
+        # append-sized hit set back — never a shuffle of the edge tables
+        # (round 3 ran one SMJ anti-join per prior table here).
+        cand_keys = cands.select("url_a", "url_b")
+        prior_edges = (
+            cat.read("pairs")
+            .select("url_a", "url_b")
+            .union(cat.read("substring_pairs").select("url_a", "url_b"))
+        )
+        prior_hits = prior_edges.join(
+            F.broadcast(cand_keys), ["url_a", "url_b"], "left_semi"
+        )
+        # re-materialize after the prune: verify reads cands repeatedly, and
+        # each read would otherwise re-run the prior-edge scan above
+        cands = cands.join(
+            F.broadcast(prior_hits), ["url_a", "url_b"], "left_anti"
+        ).localCheckpoint()
         hits = verify_substring_pairs(cands, self.pages_table(), cfg)
         hits = hits.localCheckpoint()  # two consumers: log + table append
         n_flagged = flagged.count()
+        self._set_marker("delta.inflight")
         # stage-3 append log before the table append (same crash ordering
         # rule as the stage-2 delta: over-logging is safe, under-logging not)
         cat.write(hits.select("url_a", "url_b"), "edges_new", mode="append")
@@ -939,6 +1037,7 @@ class NDDPipeline:
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("substring_pairs")
         cat.mark_complete("substring_pairs", h, {-1: n}, wall_ms)
+        self._clear_marker("delta.inflight")
         cat.add_metrics(
             "substring_pairs",
             {
@@ -948,7 +1047,6 @@ class NDDPipeline:
                 "wall_ms": wall_ms,
             },
         )
-        return True
 
     # ---------- stage 3 ----------
 
@@ -1004,9 +1102,10 @@ class NDDPipeline:
         full-reprocess stage). Retract half (urls_retracted): every cluster
         touching a retracted url is DISSOLVED — edge removal can split it
         and change its min-url label — and its surviving members re-cluster
-        as raw nodes from the post-retraction edge tables (one semi-join of
-        pairs/substring_pairs against the dissolved membership, NOT a full
-        edge-set scan), side by side with the appended edges. The corpus-
+        as raw nodes from the post-retraction edge tables (a map-side
+        semi-join filter over the full pairs/substring_pairs tables against
+        the dissolved membership — an O(edges) READ, but no wide shuffle
+        and no re-verification), side by side with the appended edges. The corpus-
         proportional cost left is one map-side rewrite of the clusters
         table (broadcast remap join + union of new rows) — an Iceberg
         MERGE at production scale.
@@ -1033,8 +1132,10 @@ class NDDPipeline:
         cat = self.catalog
         if max_remap is None:
             max_remap = self.cfg.max_remap
-        if self._retract_inflight():
-            return False  # crashed mid-retraction → stage tables suspect
+        if self._delta_suspect():
+            # crashed retraction OR crashed stage-2/2b delta append: the log
+            # may reference edges whose pairs append never committed
+            return False
         h = self.stage3_run_hash()
         if cat.completed_partitions("clusters", h):
             return True
@@ -1248,14 +1349,236 @@ class NDDPipeline:
         if pages is not None:
             self.stage0_ingest(pages, resume=True)
         self.stage1_signatures(resume=True)
+        self._appended_rep_urls = None
         if not self.stage2_pairs_delta():
             self.stage2_pairs(resume=True)
         if substring_pass:
-            if not self.stage2b_delta():
+            # thread the stage-2 delta's appended rep set into 2b so it can
+            # skip the corpus×corpus discovery anti-join (verified there by
+            # footer-level row counts; None falls back to discovery)
+            if not self.stage2b_delta(new_urls=self._appended_rep_urls):
                 self.stage2b_substring(resume=True)
         if not self.stage3_clusters_delta():
             self.stage3_clusters(resume=True)
         return self.catalog.read("clusters")
+
+    def append_pages(
+        self, new_pages: DataFrame, substring_pass: bool = True
+    ) -> DataFrame:
+        """O(append) incremental entry point: the caller KNOWS the appended
+        rows and hands exactly them (the reference's ``update_index`` with
+        explicit videoids, ndd/server_ndd.py:307-315) — so the engine skips
+        every per-run O(corpus) control-plane cost ``run_incremental`` pays
+        to INFER the drift from a full snapshot: the stage-0 ``_input_stats``
+        aggregation scan, the stage-1 unsigned-doc discovery anti-join, the
+        stage-2 ``classify_drift`` full-outer join against the corpus-sized
+        ``seen`` table, and the stage-2b reps∖seen_2b discovery anti-join.
+        What remains corpus-proportional is only the DATA-PLANE index probe
+        (map-side scans of the persisted reps/window_index tables — the
+        analog of probing a partitioned index; zero corpus shuffles).
+
+        Caller contract (refusals raise ``AppendRefusedError``, nothing
+        mutated):
+        - ``new_pages`` urls must not exist in the catalog — violations are
+          NOT detected here (detecting them is exactly the O(corpus) probe
+          this path exists to skip); a violated contract surfaces as
+          duplicate urls in ``seen``/``clusters``. In-batch duplicate urls
+          ARE detected (the batch-sized stats job counts distinct urls).
+        - The catalog must be a committed, CURRENT build: pages/signatures
+          lineage consistent, pairs (and substring_pairs, when
+          ``substring_pass``) committed under the current run hashes,
+          param stamps matching, clusters committed, no crash marker.
+
+        Crash recovery: a ``delta.inflight`` marker brackets all mutations;
+        after a crash, every delta entry point (including this one) refuses
+        and ``run_incremental(full_snapshot)`` heals the catalog (stage 0/1
+        checksum algebra re-ingests/re-signs exactly the missing rows, the
+        full stage-2 rebuild clears the marker).
+
+        Lineage semantics are identical to ``run_incremental`` on the same
+        appended rows — per-bucket (rows, checksum) advance by the batch's
+        delta via the same mod-2^64 algebra — so the two entry points are
+        interchangeable run-to-run, which tests pin by alternating them."""
+        cfg, cat = self.cfg, self.catalog
+        h1 = cfg.stage1_hash()
+
+        def refuse(why: str):
+            raise AppendRefusedError(
+                f"{why} — fall back to run_incremental(full_snapshot) "
+                "(or run() for a rebuild)"
+            )
+
+        if self._delta_suspect():
+            refuse("crash marker up (a prior retraction/delta was killed)")
+        pstats = cat.latest_partition_stats("pages", h1)
+        if not pstats:
+            refuse("no committed pages lineage under the current params")
+        sstats = cat.latest_partition_stats("signatures", h1)
+        stale = [
+            b
+            for b in range(cfg.num_buckets)
+            if pstats.get(b, (0, 0)) != (0, 0)
+            and sstats.get(b) != pstats.get(b)
+        ]
+        if stale:
+            refuse(f"signatures lag pages in buckets {stale[:5]}")
+        if not (
+            cat.exists("seen") and cat.exists("reps") and cat.exists("pairs")
+        ):
+            refuse("no stage-2 delta state (seen/reps/pairs)")
+        if not cat.completed_partitions("pairs", self.stage2_run_hash()):
+            refuse("pairs not committed under the current run hash")
+        if cat.distinct_values("seen", "cfg_hash") != {cfg.stage2_hash()}:
+            refuse("stage-2 param stamp drift in seen")
+        if substring_pass:
+            if not (
+                cat.exists("window_index")
+                and cat.exists("seen_2b")
+                and cat.exists("substring_pairs")
+            ):
+                refuse("no stage-2b delta state")
+            if not cat.completed_partitions(
+                "substring_pairs", self.stage2b_run_hash()
+            ):
+                refuse("substring_pairs not committed under the current run hash")
+            if cat.distinct_values("seen_2b", "cfg_hash") != {
+                cfg.stage2b_hash()
+            }:
+                refuse("stage-2b param stamp drift in seen_2b")
+        if not (
+            cat.exists("clusters") and cat.latest_partition_stats("clusters")
+        ):
+            refuse("no committed clusters build")
+
+        # ---- batch prep: ONE materialization, bucket-pure partitions so
+        # both partitioned appends below write one file per task ----
+        new_rows = (
+            new_pages.select("url", "text")
+            .withColumn("bucket", self._bucket_expr())
+            .withColumn("h", F.xxhash64("url", "text"))
+            .repartition("bucket")
+            .localCheckpoint()
+        )
+        # one batch-sized job: per-bucket (rows, checksum) delta + in-batch
+        # url-duplicate detection (urls hash-partition by bucket, so the
+        # per-bucket distinct counts sum to the global distinct count)
+        agg = (
+            new_rows.groupBy("bucket")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("cks"),
+                F.countDistinct("url").alias("urls"),
+            )
+            .collect()
+        )
+        delta_stats = {
+            int(r["bucket"]): (int(r["rows"]), _wrap64(int(r["cks"])))
+            for r in agg
+        }
+        n_new = sum(int(r["rows"]) for r in agg)
+        if n_new != sum(int(r["urls"]) for r in agg):
+            refuse("batch contains duplicate urls")
+        if n_new == 0:
+            return cat.read("clusters")
+
+        # ---- stage 0: append rows, advance lineage by the batch delta ----
+        t0 = time.monotonic()
+        self._set_marker("delta.inflight")
+        cat.write(
+            new_rows.drop("h"),
+            "pages",
+            partition_by=["bucket"],
+            mode="append",
+            max_records_per_file=2048,
+        )
+        merged = {
+            b: (
+                pstats.get(b, (0, 0))[0] + d[0],
+                _wrap64(pstats.get(b, (0, 0))[1] + d[1]),
+            )
+            for b, d in delta_stats.items()
+        }
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        cat.mark_complete(
+            "pages",
+            h1,
+            {b: m[0] for b, m in merged.items()},
+            wall_ms,
+            checksums={b: m[1] for b, m in merged.items()},
+        )
+        cat.add_metrics(
+            "pages",
+            {
+                "buckets_appended": len(merged),
+                "buckets_rewritten": 0,
+                "appended_docs_ingested": n_new,
+                "wall_ms": wall_ms,
+            },
+        )
+
+        # ---- stage 1: sign ONLY the batch (partitions stay bucket-pure
+        # through the Arrow map, so the partitioned append is fan-out-free)
+        t0 = time.monotonic()
+        new_sigs = (
+            new_rows.select("url", "text")
+            .mapInPandas(signature_map_fn(cfg), schema=SIGNATURE_SCHEMA)
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int"),
+            )
+            .localCheckpoint()
+        )
+        cat.write(
+            new_sigs,
+            "signatures",
+            partition_by=["bucket"],
+            mode="append",
+            max_records_per_file=2048,
+        )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        cat.mark_complete(
+            "signatures",
+            h1,
+            {b: m[0] for b, m in merged.items()},
+            wall_ms,
+            checksums={b: m[1] for b, m in merged.items()},
+        )
+        cat.add_metrics(
+            "signatures",
+            {
+                "buckets_computed": 0,
+                "buckets_appended": len(merged),
+                "appended_docs_signed": n_new,
+                "wall_ms": wall_ms,
+            },
+        )
+
+        # ---- stages 2 / 2b / 3: the shared delta append cores ----
+        h2 = self.stage2_run_hash()  # AFTER the stage-1 lineage advance
+        new_rep_urls = self._stage2_apply_append(
+            new_sigs.select("url", "fp", "bands", "simhash"),
+            n_new,
+            h2,
+            time.monotonic(),
+        )
+        if substring_pass:
+            if not self.stage2b_delta(new_urls=new_rep_urls):
+                # unreachable given the preconditions above; surface rather
+                # than silently rebuild (the caller wanted O(append))
+                refuse("stage-2b delta state became invalid mid-append")
+        if not self.stage3_clusters_delta():
+            # legitimate wide-merge fallback (remap over the broadcast
+            # ceiling): full CC over the catalog's committed edge tables —
+            # no input snapshot needed, correctness identical
+            self.stage3_clusters(resume=True)
+        return cat.read("clusters")
+
+
+class AppendRefusedError(RuntimeError):
+    """``append_pages`` could not run its O(append) plan (stale or crashed
+    catalog state, param drift, duplicate urls in the batch). Nothing was
+    mutated unless the message says otherwise; recover with
+    ``run_incremental(full_snapshot)`` or a full ``run()``."""
 
 
 # ---------- flagship read path (reference SURVEY §3.1) ----------
@@ -1275,6 +1598,19 @@ def query_top_k(
     LSH band broadcast-join (replaces the O(N) matmul) → exact-Jaccard
     verify → keep-first per cluster (W1) → orderBy + limit (W2/W4,
     Catalyst plans TakeOrderedAndProject).
+
+    FRESHNESS CONTRACT (mid-incremental reads): an in-flight
+    run_incremental/append_pages commits signatures and pairs BEFORE the
+    clusters table advances (and the stage-3 delta swaps clusters via a
+    staged ``clusters_next`` dir, so this table is never half-written). A
+    query in that window sees the appended docs — they are in the
+    signatures index the band probe hits — but not yet in clusters; the
+    ``coalesce(cluster_id, url)`` rule below gives each such doc its OWN
+    dedup group, so appended docs appear individually (never collapsed
+    into one arbitrary group, never silently dropped) and previously
+    committed docs keep their committed grouping. Results are therefore
+    always a consistent read of "last committed clusters + individually
+    listed newer docs" — tests/test_query_freshness.py pins this.
     """
     import numpy as np
     import pandas as pd

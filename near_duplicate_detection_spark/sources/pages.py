@@ -166,16 +166,21 @@ def generate_rows(ids: np.ndarray, seed: int = SEED) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["url", "warc_ts", "html", "text", "lang"])
 
 
-def generate_pages(spark: SparkSession, n_docs: int, seed: int = SEED) -> DataFrame:
-    """Distributed deterministic generation — partition-layout independent."""
+def generate_pages(
+    spark: SparkSession, n_docs: int, seed: int = SEED, start: int = 0
+) -> DataFrame:
+    """Distributed deterministic generation — partition-layout independent.
+    ``start`` > 0 yields only docs [start, n_docs): every doc is a pure
+    function of its id, so the slice equals the tail of the full table —
+    the append BATCH for ``append_pages`` tests and benchmarks."""
 
     def gen(batches):
         for pdf in batches:
             if len(pdf):
                 yield generate_rows(pdf["id"].values, seed)
 
-    parallelism = min(max(n_docs // 500, 1), 64)
-    return spark.range(0, n_docs, numPartitions=parallelism).mapInPandas(
+    parallelism = min(max((n_docs - start) // 500, 1), 64)
+    return spark.range(start, n_docs, numPartitions=parallelism).mapInPandas(
         gen, schema=PAGES_SCHEMA
     )
 

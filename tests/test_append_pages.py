@@ -1,0 +1,205 @@
+"""append_pages: the O(append) incremental entry point (reference
+``update_index`` with explicit videoids, ndd/server_ndd.py:307-315).
+
+The caller hands exactly the appended rows, so the engine must (a) produce
+the same cluster partition as run_incremental / a full rebuild, (b) never
+invoke the O(corpus) control-plane scans run_incremental needs to INFER the
+drift (stage-0 _input_stats, stage-2 classify_drift — pinned here by
+monkeypatching both to raise), and (c) refuse with nothing mutated whenever
+its preconditions don't hold."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from near_duplicate_detection_spark.config import NDDConfig
+from near_duplicate_detection_spark.pipeline import (
+    AppendRefusedError,
+    NDDPipeline,
+)
+from near_duplicate_detection_spark.sources.pages import generate_pages
+
+CFG = NDDConfig(num_buckets=4)
+# same structure-cutting boundaries as test_incremental.py: 301 leaves doc
+# 300's exact copy, a near-dup of an old group, and substring partner 307
+# of old 306 to the appended batch
+N1, N2 = 301, 420
+
+
+def _partition(clusters_pdf):
+    return {
+        frozenset(grp.url) for _, grp in clusters_pdf.groupby("cluster_id")
+    }
+
+
+def _n_jobs(spark) -> int:
+    return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+
+
+@pytest.fixture(scope="module")
+def base_catalog(spark, tmp_path_factory):
+    """A committed full build at N1 docs; tests copy it to diverge."""
+    base = str(tmp_path_factory.mktemp("ndd_ap_base"))
+    NDDPipeline(spark, CFG, base).run(generate_pages(spark, N1))
+    return base
+
+
+def _copy(base: str, tmp_path_factory, name: str) -> str:
+    dst = str(tmp_path_factory.mktemp(name) / "cat")
+    shutil.copytree(base, dst)
+    return dst
+
+
+@pytest.fixture(scope="module")
+def full_n2(spark, tmp_path_factory):
+    return (
+        NDDPipeline(spark, CFG, str(tmp_path_factory.mktemp("ndd_ap_full")))
+        .run(generate_pages(spark, N2))
+        .toPandas()
+    )
+
+
+def test_append_pages_matches_full_rebuild_and_skips_control_plane(
+    spark, tmp_path_factory, monkeypatch, base_catalog, full_n2
+):
+    import near_duplicate_detection_spark.operators.delta as delta_mod
+
+    pipe = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_ap_eq")
+    )
+
+    def boom(*a, **k):
+        raise AssertionError("O(corpus) control-plane scan invoked")
+
+    # the two scans the O(append) contract must skip (VERDICT r3 #1)
+    monkeypatch.setattr(NDDPipeline, "_input_stats", boom)
+    monkeypatch.setattr(delta_mod, "classify_drift", boom)
+    clusters = pipe.append_pages(
+        generate_pages(spark, N2, start=N1)
+    ).toPandas()
+    assert len(clusters) == N2
+    assert clusters.url.nunique() == N2
+    assert _partition(clusters) == _partition(full_n2)
+    # metrics: exactly the batch was ingested and signed, and no bucket was
+    # rewritten beyond the base build's initial full write (metric rows
+    # carry no timestamp and parquet read order isn't chronological, so
+    # assert on the multiset of values)
+    m = pipe.catalog.read("metrics").toPandas()
+    assert (
+        m[(m.stage == "pages") & (m.key == "appended_docs_ingested")].value
+        == N2 - N1
+    ).any()
+    assert (
+        m[(m.stage == "signatures") & (m.key == "appended_docs_signed")].value
+        == N2 - N1
+    ).any()
+    rewrites = m[(m.stage == "pages") & (m.key == "buckets_rewritten")].value
+    assert (rewrites > 0).sum() == 1  # the base build only
+
+
+def test_append_pages_interchangeable_with_run_incremental(
+    spark, tmp_path_factory, base_catalog, full_n2
+):
+    """Lineage written by append_pages must be exactly what run_incremental
+    writes for the same rows: alternate the entry points batch by batch and
+    land on the full rebuild's partition."""
+    pipe = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_ap_mix")
+    )
+    pipe.append_pages(generate_pages(spark, 340, start=N1))
+    pipe.run_incremental(generate_pages(spark, 380))  # infers the 340→380 append
+    clusters = pipe.append_pages(
+        generate_pages(spark, N2, start=380)
+    ).toPandas()
+    assert _partition(clusters) == _partition(full_n2)
+
+
+def test_append_pages_cheaper_than_run_incremental(
+    spark, tmp_path_factory, base_catalog
+):
+    """Job-count evidence: the same batch through append_pages schedules
+    materially fewer Spark jobs than through run_incremental (the fixed
+    control-plane jobs are gone; job counts are noise-free on this host)."""
+    batch = generate_pages(spark, N2, start=N1)
+    p_inc = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_ap_jobs_inc")
+    )
+    j0 = _n_jobs(spark)
+    p_inc.run_incremental(generate_pages(spark, N2))
+    jobs_inc = _n_jobs(spark) - j0
+    p_ap = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_ap_jobs_ap")
+    )
+    j0 = _n_jobs(spark)
+    p_ap.append_pages(batch)
+    jobs_ap = _n_jobs(spark) - j0
+    assert jobs_ap < jobs_inc, (jobs_ap, jobs_inc)
+
+
+def test_append_pages_refusals_mutate_nothing(
+    spark, tmp_path_factory, base_catalog
+):
+    batch = generate_pages(spark, N2, start=N1)
+    # no committed state at all
+    empty = NDDPipeline(
+        spark, CFG, str(tmp_path_factory.mktemp("ndd_ap_empty"))
+    )
+    with pytest.raises(AppendRefusedError, match="no committed pages lineage"):
+        empty.append_pages(batch)
+    # param drift: stamps/hashes built under other knobs must refuse
+    drifted = NDDPipeline(
+        spark,
+        NDDConfig(num_buckets=4, jaccard_threshold=0.9),
+        _copy(base_catalog, tmp_path_factory, "ndd_ap_drift"),
+    )
+    with pytest.raises(AppendRefusedError):
+        drifted.append_pages(batch)
+    # crash marker up
+    marked = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_ap_marked")
+    )
+    marked._set_marker("delta.inflight")
+    with pytest.raises(AppendRefusedError, match="crash marker"):
+        marked.append_pages(batch)
+    # in-batch duplicate urls
+    dup = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_ap_dup")
+    )
+    n_pairs = dup.catalog.count_rows("pairs")
+    with pytest.raises(AppendRefusedError, match="duplicate urls"):
+        dup.append_pages(batch.union(batch.limit(1)))
+    # nothing mutated: pairs table and pages lineage untouched
+    assert dup.catalog.count_rows("pairs") == n_pairs
+    assert dup.catalog.count_rows("pages") == N1
+
+
+def test_append_pages_crash_marker_routes_retry_to_full(
+    spark, tmp_path_factory, monkeypatch, base_catalog, full_n2
+):
+    """A kill mid-append leaves delta.inflight up; the retry refuses and
+    run_incremental(full snapshot) heals to the full rebuild's partition."""
+    from near_duplicate_detection_spark.lineage import StageCatalog
+
+    cat_dir = _copy(base_catalog, tmp_path_factory, "ndd_ap_crash")
+    pipe = NDDPipeline(spark, CFG, cat_dir)
+    orig_write = StageCatalog.write
+
+    def write_then_crash(self, df, table, **kw):
+        orig_write(self, df, table, **kw)
+        if table == "pairs":
+            raise RuntimeError("simulated crash mid pairs append")
+
+    monkeypatch.setattr(StageCatalog, "write", write_then_crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.append_pages(generate_pages(spark, N2, start=N1))
+    monkeypatch.setattr(StageCatalog, "write", orig_write)
+    assert pipe._delta_suspect()
+    with pytest.raises(AppendRefusedError, match="crash marker"):
+        pipe.append_pages(generate_pages(spark, N2, start=N1))
+    healed = pipe.run_incremental(generate_pages(spark, N2)).toPandas()
+    assert healed.url.nunique() == N2
+    assert _partition(healed) == _partition(full_n2)
+    assert not pipe._delta_suspect()
