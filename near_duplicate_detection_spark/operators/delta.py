@@ -224,7 +224,7 @@ def cluster_label_delta(
     old_clusters: DataFrame,
     new_edges: DataFrame,
     driver_cc_max: int = 200_000,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, int | None]:
     """Incremental connected components by cluster contraction.
 
     Append-only premise: new edges can only MERGE existing clusters (or
@@ -251,7 +251,10 @@ def cluster_label_delta(
     rounds); a merge cascade past the guard falls back to the distributed
     CC. → (remap(url=old_label, label=new_label) — changed labels only,
     broadcastable by the caller's size guard; node_labels(url, label) over
-    every contraction node)."""
+    every contraction node; n_remap — the remap's exact row count when the
+    driver solved the graph (the frames are then LOCAL relations: no
+    checkpoint or Spark count needed to size-guard or broadcast them), None
+    when the distributed CC ran and the caller must count)."""
     from near_duplicate_detection_spark.operators.connected_components import (
         connected_components,
     )
@@ -293,13 +296,18 @@ def cluster_label_delta(
         lab_map = _driver_union_find(
             [(r["url_a"], r["url_b"]) for r in contracted.collect()]
         )
-        node_labels = old_clusters.sparkSession.createDataFrame(
+        spark = old_clusters.sparkSession
+        node_labels = spark.createDataFrame(
             list(lab_map.items()), schema="url string, label string"
         )
-    else:
-        node_labels = connected_components(contracted)
+        changed = [(u, l) for u, l in lab_map.items() if u != l]
+        remap = spark.createDataFrame(
+            changed, schema="url string, label string"
+        )
+        return remap, node_labels, len(changed)
+    node_labels = connected_components(contracted)
     remap = node_labels.where(F.col("url") != F.col("label"))
-    return remap, node_labels
+    return remap, node_labels, None
 
 
 def retraction_mapping(

@@ -1000,12 +1000,16 @@ class NDDPipeline:
         cands, flagged = delta_window_candidates(
             cat.read("window_index"), new_windows, cfg
         )
-        cands = cands.localCheckpoint()
         # already-verified pairs (stage 2 or earlier 2b runs) skip the LCS.
         # The prior edge tables are corpus-dup-volume-sized: semi-probe them
         # map-side with the (broadcast) candidate keys, then anti-join the
         # append-sized hit set back — never a shuffle of the edge tables
         # (round 3 ran one SMJ anti-join per prior table here).
+        # ONE materialization fuses candidate generation with the prune: the
+        # unmaterialized cands subplan appears twice in it (broadcast keys +
+        # probe side) but re-derives from the checkpointed window buckets —
+        # cheaper than the extra barrier a cands-then-prune double
+        # checkpoint paid (round 3 ran two eager localCheckpoints here).
         cand_keys = cands.select("url_a", "url_b")
         prior_edges = (
             cat.read("pairs")
@@ -1015,8 +1019,8 @@ class NDDPipeline:
         prior_hits = prior_edges.join(
             F.broadcast(cand_keys), ["url_a", "url_b"], "left_semi"
         )
-        # re-materialize after the prune: verify reads cands repeatedly, and
-        # each read would otherwise re-run the prior-edge scan above
+        # materialized: verify reads cands three times (url set + pair join),
+        # and each read would otherwise re-run the prior-edge scan above
         cands = cands.join(
             F.broadcast(prior_hits), ["url_a", "url_b"], "left_anti"
         ).localCheckpoint()
@@ -1148,6 +1152,7 @@ class NDDPipeline:
             return False  # no log → edge set may have been rebuilt wholesale
         t0 = time.monotonic()
         n_new_edges = cat.count_rows("edges_new") if has_edges else 0
+        n_old_rows = cat.count_rows("clusters")  # footer read, no Spark job
         old = cat.read("clusters").select("url", "cluster_id")
         if has_retract:
             retr = (
@@ -1197,14 +1202,22 @@ class NDDPipeline:
             combined = combined.dropDuplicates(["url_a", "url_b"])
             # frontier members are NOT in base_old, so the contraction keeps
             # them as raw nodes and re-derives their labels from scratch
-            remap, node_labels = cluster_label_delta(
+            remap, node_labels, n_remap = cluster_label_delta(
                 base_old, combined, driver_cc_max=self.cfg.driver_cc_max
             )
-            remap = remap.localCheckpoint()
-            if remap.count() > max_remap:
+            if n_remap is None:
+                # distributed-CC fallback: remap is a real plan — materialize
+                # once and count it for the broadcast size guard
+                remap = remap.localCheckpoint()
+                n_remap = remap.count()
+            # driver-CC path: remap/node_labels are LOCAL relations (driver
+            # data) — no checkpoint, no Spark count; broadcast joins below
+            # ship them directly
+            if n_remap > max_remap:
                 return False  # merge cascade too wide to broadcast → full CC
         else:
             remap = node_labels = None
+            n_remap = 0
         new_rows = (
             cat.read("urls_new").select("url").distinct()
             if has_urls
@@ -1248,8 +1261,17 @@ class NDDPipeline:
         # stage → wipe log → swap (see docstring crash protocol)
         _shutil.rmtree(cat.path("clusters_next"), ignore_errors=True)
         cat.write(clusters_next, "clusters_next")
-        n_merged = remap.count() if remap is not None else 0
-        n_new_urls = new_rows.count()
+        n_merged = n_remap
+        # pure-append runs derive the new-url count from footer counts
+        # (clusters_next = base_old ∪ new_rows row-for-row, and base_old is
+        # the whole prior table when nothing dissolved); the retract path
+        # keeps the Spark count — base_old is then a filtered plan — and
+        # must count BEFORE the log wipe below (new_rows reads urls_new)
+        n_new_urls = (
+            cat.count_rows("clusters_next") - n_old_rows
+            if not has_retract
+            else new_rows.count()
+        )
         for t in self._STAGE3_LOG_TABLES:
             _shutil.rmtree(cat.path(t), ignore_errors=True)
         _shutil.rmtree(cat.path("clusters"), ignore_errors=True)
@@ -1266,7 +1288,10 @@ class NDDPipeline:
                 "delta_merged_labels": n_merged,
                 "delta_retracted_urls": n_retr,
                 "delta_dissolved_clusters": n_dissolved,
-                "multi_doc_clusters": self._multi_doc_clusters(),
+                # multi_doc_clusters deliberately NOT recomputed here: it is
+                # a corpus-wide groupBy — an O(corpus) shuffle per append at
+                # scale. Full builds report it; delta runs leave the last
+                # full-build value standing (metrics are append-only).
                 "wall_ms": wall_ms,
             },
         )
@@ -1345,8 +1370,21 @@ class NDDPipeline:
         rebuild runs only when the delta state is missing, superseded, too
         large to retract, or marked inconsistent by a crashed retraction.
         `pages` is the FULL current snapshot (same contract as run());
-        appends/edits/deletes are inferred."""
+        appends/edits/deletes are inferred.
+
+        PURE-APPEND fast path: ONE fused marker-join + aggregation over the
+        snapshot both classifies the drift (per-bucket checksum algebra —
+        any edit/delete/url-dup fails an identity) and yields the appended
+        rows, which then go through ``append_pages``'s shared delta core.
+        The inferred path's control plane thereby drops from three
+        corpus-table scans per run (stage-0 discovery anti-join, stage-1
+        unsigned-doc anti-join, stage-2 ``classify_drift`` full-outer join)
+        to ONE url-probe join; mixed drift falls back to the full
+        stage-by-stage machinery below, unchanged."""
         if pages is not None:
+            fast = self._try_pure_append(pages, substring_pass)
+            if fast is not None:
+                return fast
             self.stage0_ingest(pages, resume=True)
         self.stage1_signatures(resume=True)
         self._appended_rep_urls = None
@@ -1361,6 +1399,84 @@ class NDDPipeline:
         if not self.stage3_clusters_delta():
             self.stage3_clusters(resume=True)
         return self.catalog.read("clusters")
+
+    def _try_pure_append(
+        self, pages: DataFrame, substring_pass: bool
+    ) -> DataFrame | None:
+        """``run_incremental``'s fast path: prove the snapshot is the
+        committed corpus plus appended rows, extract those rows, and run
+        them through ``append_pages``. Returns the clusters DataFrame, or
+        None when the snapshot is not a clean append onto a healthy catalog
+        (first build, edits/deletes, signature lag, crash marker, param
+        drift, no drift at all) — the caller then runs the slow inferred
+        path, which handles every one of those cases.
+
+        Proof obligation (per bucket, same mod-2^64 algebra as
+        ``stage0_ingest``): split the snapshot's rows by whether their url
+        already exists in the pages table (one join against the corpus URL
+        column — the fast path's single corpus-table probe); the
+        OLD-portion (rows, Σ xxhash64(url, text)) must equal the committed
+        lineage stats exactly. An edit keeps the url but shifts the old
+        checksum; a delete drops the old row count; a duplicated url
+        inflates it — each fails the identity (collision odds 2^-64 per
+        bucket, see ``_input_stats``). Buckets absent from the lineage must
+        be all-new. The surviving difference is by construction a pure
+        append, which ``append_pages`` verifies no further (its caller
+        contract is established here)."""
+        cat, cfg = self.catalog, self.cfg
+        if self._delta_suspect():
+            return None  # crashed delta/retraction: slow path heals
+        h1 = cfg.stage1_hash()
+        pstats = cat.latest_partition_stats("pages", h1)
+        if not pstats or not cat.exists("pages"):
+            return None  # first build (or param change invalidated stage 0)
+        if cat.latest_partition_stats("signatures", h1) != pstats:
+            return None  # signatures lag pages: stage 1 must heal first
+        marked = (
+            pages.select("url", "text")
+            .withColumn("bucket", self._bucket_expr())
+            .withColumn("h", F.xxhash64("url", "text"))
+            .join(
+                self.pages_table()
+                .select("url")
+                .withColumn("_old", F.lit(True)),
+                "url",
+                "left",
+            )
+        )
+        is_new = F.col("_old").isNull()
+        dec = F.col("h").cast("decimal(38,0)")
+        zero = F.lit(0).cast("decimal(38,0)")
+        agg = (
+            marked.groupBy("bucket")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(dec).alias("cks"),
+                F.sum(F.when(is_new, 1).otherwise(0)).alias("new_rows"),
+                F.sum(F.when(is_new, dec).otherwise(zero)).alias("new_cks"),
+            )
+            .collect()
+        )
+        totals = {int(r["bucket"]): r for r in agg}
+        n_new = sum(int(r["new_rows"]) for r in agg)
+        if n_new == 0:
+            return None  # no appended rows: no-drift or delete-only drift
+        for b in set(totals) | {b for b, s in pstats.items() if s != (0, 0)}:
+            want_rows, want_cks = pstats.get(b, (0, 0))
+            t = totals.get(b)
+            old_rows = int(t["rows"]) - int(t["new_rows"]) if t else 0
+            old_cks = (
+                _wrap64(int(t["cks"]) - int(t["new_cks"])) if t else 0
+            )
+            if old_rows != want_rows:
+                return None  # delete / duplicated url in this bucket
+            if want_rows and old_cks != want_cks:
+                return None  # edit in this bucket
+        batch = marked.where(is_new).select("url", "text")
+        try:
+            return self.append_pages(batch, substring_pass=substring_pass)
+        except AppendRefusedError:
+            return None  # stale stage-2/2b/3 state: slow path rebuilds
 
     def append_pages(
         self, new_pages: DataFrame, substring_pass: bool = True

@@ -20,7 +20,7 @@ from near_duplicate_detection_spark.pipeline import (
     AppendRefusedError,
     NDDPipeline,
 )
-from near_duplicate_detection_spark.sources.pages import generate_pages
+from near_duplicate_detection_spark.sources.pages import generate_pages, url_of
 
 CFG = NDDConfig(num_buckets=4)
 # same structure-cutting boundaries as test_incremental.py: 301 leaves doc
@@ -203,3 +203,50 @@ def test_append_pages_crash_marker_routes_retry_to_full(
     assert healed.url.nunique() == N2
     assert _partition(healed) == _partition(full_n2)
     assert not pipe._delta_suspect()
+
+
+def test_pure_append_fast_path_routing(
+    spark, tmp_path_factory, base_catalog, full_n2
+):
+    """run_incremental's pure-append fast path: a clean append snapshot is
+    proven by the checksum algebra and routed through append_pages (so
+    classify_drift never runs); an edited or shrunken snapshot fails the
+    per-bucket identity and falls back to the slow inferred path, whose
+    result still matches the full rebuild."""
+    import near_duplicate_detection_spark.operators.delta as delta_mod
+
+    # (a) pure append: classify_drift poisoned — only the fast path passes
+    pipe = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_fp_app")
+    )
+    orig = delta_mod.classify_drift
+
+    def boom(*a, **k):
+        raise AssertionError("slow inferred path ran on a pure append")
+
+    delta_mod.classify_drift = boom
+    try:
+        clusters = pipe.run_incremental(generate_pages(spark, N2)).toPandas()
+    finally:
+        delta_mod.classify_drift = orig
+    assert _partition(clusters) == _partition(full_n2)
+
+    # (b) edit drift: fast path must decline (identity fails on the edited
+    # bucket) and the slow path's retraction still lands on the rebuild
+    snap = generate_pages(spark, N2)
+    edited = snap.withColumn(
+        "text",
+        F.when(F.col("url") == url_of(7), F.lit("edited body"))
+        .otherwise(F.col("text")),
+    )
+    pipe_e = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_fp_edit")
+    )
+    assert pipe_e._try_pure_append(edited, True) is None
+
+    # (c) delete drift: fast path must decline
+    shrunk = snap.where(F.col("url") != url_of(7))
+    pipe_d = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_fp_del")
+    )
+    assert pipe_d._try_pure_append(shrunk, True) is None
