@@ -913,7 +913,11 @@ class NDDPipeline:
             },
         )
 
-    def stage2b_delta(self, new_urls: DataFrame | None = None) -> bool:
+    def stage2b_delta(
+        self,
+        new_urls: DataFrame | None = None,
+        new_pages: DataFrame | None = None,
+    ) -> bool:
         """Append-only incremental stage 2b: new reps' anchored windows probe
         the persisted window_index (operators/delta.py
         delta_window_candidates) instead of re-fingerprinting the corpus.
@@ -930,7 +934,13 @@ class NDDPipeline:
         was appended, which footer-level row counts decide with zero Spark
         jobs (|reps| = |seen_2b| + |new_urls|); a mismatch (e.g. 2b skipped
         for several batches via substring_pass=False) falls back to the
-        discovery join."""
+        discovery join.
+
+        ``new_pages``: the appended (url, text) rows when the caller holds
+        them materialized (``append_pages``'s batch) — the window
+        fingerprint then reads the batch instead of probing the corpus
+        pages table for the same texts. Ignored whenever ``new_urls`` falls
+        back to discovery (discovered urls need not be in the batch)."""
         cfg, cat = self.cfg, self.catalog
         if self._delta_suspect():
             return False  # crashed retraction/delta append → tables suspect
@@ -957,6 +967,7 @@ class NDDPipeline:
             if cat.count_rows("reps") != cat.count_rows("seen_2b") + n_new:
                 new_urls = None  # coverage lag → discover below
         if new_urls is None:
+            new_pages = None  # discovered urls may predate the batch
             new_urls = (
                 cat.read("reps")
                 .select("url")
@@ -969,11 +980,16 @@ class NDDPipeline:
                 "substring_pairs", h, {-1: cat.count_rows("substring_pairs")}, 0
             )
             return True
-        self._stage2b_apply_append(new_urls, n_new, h, t0)
+        self._stage2b_apply_append(new_urls, n_new, h, t0, new_pages=new_pages)
         return True
 
     def _stage2b_apply_append(
-        self, new_urls: DataFrame, n_new: int, h: str, t0: float
+        self,
+        new_urls: DataFrame,
+        n_new: int,
+        h: str,
+        t0: float,
+        new_pages: DataFrame | None = None,
     ) -> None:
         """Shared append core of the stage-2b delta: fingerprint the new
         docs' windows, probe the persisted window_index, verify, append.
@@ -988,7 +1004,11 @@ class NDDPipeline:
         )
 
         cfg, cat = self.cfg, self.catalog
-        new_pages = self.pages_table().join(
+        # text source: the caller's materialized batch when provided (the
+        # urls are a subset of it — zero corpus reads), else a map-side
+        # probe of the corpus pages table
+        src = new_pages if new_pages is not None else self.pages_table()
+        new_pages = src.join(
             F.broadcast(new_urls), "url", "left_semi"
         )
         new_windows = (
@@ -1678,7 +1698,10 @@ class NDDPipeline:
             time.monotonic(),
         )
         if substring_pass:
-            if not self.stage2b_delta(new_urls=new_rep_urls):
+            if not self.stage2b_delta(
+                new_urls=new_rep_urls,
+                new_pages=new_rows.select("url", "text"),
+            ):
                 # unreachable given the preconditions above; surface rather
                 # than silently rebuild (the caller wanted O(append))
                 refuse("stage-2b delta state became invalid mid-append")
