@@ -94,7 +94,12 @@ def _timed_leg(spark, cfg, base: str, fn, n_docs: int, passes: int) -> tuple:
 
 
 def _measure_incremental(
-    spark, cfg, base: str, n_docs: int, passes: int = 2
+    spark,
+    cfg,
+    base: str,
+    n_docs: int,
+    passes: int = 2,
+    only: tuple[str, ...] | None = None,
 ) -> dict:
     """Incremental-path legs — reported OUTSIDE the headline total (they
     measure the change paths, not the full-build throughput the baseline
@@ -110,9 +115,17 @@ def _measure_incremental(
       retract_edit_sec         run_incremental on a snapshot where ~10% of
                                docs changed text (targeted retraction +
                                re-append path)
+      update_pages_sec         the same ~10% edit via update_pages (caller
+                               hands exactly the changed rows — only the
+                               batch passes the signature UDF; the gap vs
+                               retract_edit_sec is the inferred path's
+                               corpus re-sign)
       retract_delete_sec       run_incremental on a snapshot with ~10% of
                                docs removed (targeted retraction, dissolve +
                                re-cluster path)
+      delete_pages_sec         the same ~10% delete via delete_pages (caller
+                               hands exactly the deleted urls — anti-join
+                               bucket rewrites, zero re-signing)
     """
     from pyspark.sql import functions as F
 
@@ -146,14 +159,32 @@ def _measure_incremental(
             ),
         ),
         (
+            "update_pages_sec",
+            lambda p: p.update_pages(
+                generate_pages(spark, n_docs)
+                .where(is_touched)
+                .withColumn(
+                    "text", F.concat(F.col("text"), F.lit(" zzedit"))
+                )
+            ),
+        ),
+        (
             "retract_delete_sec",
             lambda p: p.run_incremental(
                 generate_pages(spark, n_docs).where(~is_touched)
             ),
         ),
+        (
+            "delete_pages_sec",
+            lambda p: p.delete_pages(
+                generate_pages(spark, n_docs).where(is_touched).select("url")
+            ),
+        ),
     )
     try:
         for key, fn in legs:
+            if only is not None and key not in only:
+                continue
             try:
                 wall, n_passes = _timed_leg(spark, cfg, base, fn, n_docs, passes)
                 out[key] = round(wall, 3)
@@ -235,7 +266,9 @@ def main() -> None:
     # tripped guard or a failure records WHY instead of omitting silently
     if kept:
         try:
-            incremental = _measure_incremental(spark, cfg, kept, n_docs)
+            incremental = _measure_incremental(
+                spark, cfg, kept, n_docs, passes=passes
+            )
         except Exception as e:  # noqa: BLE001
             incremental = {"incremental_skipped": f"error: {e}"[:200]}
     else:

@@ -5,7 +5,7 @@ Usage:
     spark-submit --py-files ndd.zip jobs/build_index.py \
         --pages /path/to/pages_parquet --catalog /path/to/catalog \
         [--n-synthetic 100000] [--no-resume] [--no-substring] \
-        [--incremental] \
+        [--incremental | --append | --update | --delete-urls PATH] \
         [--shingle-k 5] [--num-perms 128] [--bands 32] [--rows 4] \
         [--jaccard 0.6] [--buckets 64]
 
@@ -24,15 +24,32 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    src = ap.add_mutually_exclusive_group(required=True)
+    src = ap.add_mutually_exclusive_group()
     src.add_argument("--pages", help="parquet dir: url, warc_ts, html, text, lang")
     src.add_argument("--n-synthetic", type=int, help="generate N synthetic pages")
     ap.add_argument("--catalog", required=True, help="stage-table catalog dir")
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
         "--incremental", action="store_true",
-        help="append-optimized: delta stage 2 when the snapshot only ADDS "
-             "docs (falls back to the full path on edits/deletions)",
+        help="change-optimized: --pages is the FULL current snapshot; the "
+             "engine infers appends/edits/deletes and runs the delta paths "
+             "(pure appends route through the O(append) core)",
+    )
+    ap.add_argument(
+        "--append", action="store_true",
+        help="O(append) explicit: --pages holds ONLY the new rows "
+             "(append_pages — zero corpus scans; urls must be new)",
+    )
+    ap.add_argument(
+        "--update", action="store_true",
+        help="O(edit) explicit: --pages holds ONLY the changed rows "
+             "(update_pages — only the batch is re-signed)",
+    )
+    ap.add_argument(
+        "--delete-urls",
+        help="O(delete) explicit: parquet dir with a `url` column, or a "
+             "newline-delimited url list file (delete_pages — anti-join "
+             "bucket rewrites, zero re-signing); no input snapshot needed",
     )
     ap.add_argument("--no-substring", action="store_true")
     ap.add_argument("--shingle-k", type=int, default=5)
@@ -42,8 +59,25 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--jaccard", type=float, default=0.6)
     ap.add_argument("--buckets", type=int, default=64)
     args = ap.parse_args(argv)
-    if args.incremental and args.no_resume:
-        ap.error("--incremental requires resume state; drop --no-resume")
+    modes = [
+        m
+        for m, on in (
+            ("--incremental", args.incremental),
+            ("--append", args.append),
+            ("--update", args.update),
+            ("--delete-urls", bool(args.delete_urls)),
+        )
+        if on
+    ]
+    if len(modes) > 1:
+        ap.error(f"pick one of {modes}")
+    if args.delete_urls:
+        if args.pages or args.n_synthetic:
+            ap.error("--delete-urls takes no input snapshot")
+    elif not (args.pages or args.n_synthetic is not None):
+        ap.error("one of --pages / --n-synthetic is required")
+    if modes and args.no_resume:
+        ap.error(f"{modes[0]} requires resume state; drop --no-resume")
 
     from pyspark.sql import SparkSession
 
@@ -64,20 +98,35 @@ def main(argv: list[str] | None = None) -> int:
         num_buckets=args.buckets,
     )
     pipe = NDDPipeline(spark, cfg, args.catalog)
-    if args.pages:
-        pages = spark.read.parquet(args.pages)
-    else:
-        from near_duplicate_detection_spark.sources.pages import generate_pages
+    sub = not args.no_substring
+    if args.delete_urls:
+        import os
 
-        pages = generate_pages(spark, args.n_synthetic)
-    if args.incremental:
-        clusters = pipe.run_incremental(
-            pages, substring_pass=not args.no_substring
-        )
+        if os.path.isdir(args.delete_urls):
+            urls = spark.read.parquet(args.delete_urls).select("url")
+        else:
+            with open(args.delete_urls) as f:
+                urls = [ln.strip() for ln in f if ln.strip()]
+        clusters = pipe.delete_pages(urls, substring_pass=sub)
     else:
-        clusters = pipe.run(
-            pages, resume=not args.no_resume, substring_pass=not args.no_substring
-        )
+        if args.pages:
+            pages = spark.read.parquet(args.pages)
+        else:
+            from near_duplicate_detection_spark.sources.pages import (
+                generate_pages,
+            )
+
+            pages = generate_pages(spark, args.n_synthetic)
+        if args.incremental:
+            clusters = pipe.run_incremental(pages, substring_pass=sub)
+        elif args.append:
+            clusters = pipe.append_pages(pages, substring_pass=sub)
+        elif args.update:
+            clusters = pipe.update_pages(pages, substring_pass=sub)
+        else:
+            clusters = pipe.run(
+                pages, resume=not args.no_resume, substring_pass=sub
+            )
     stats = {
         "clusters_rows": pipe.catalog.count_rows("clusters"),
         "pairs": pipe.catalog.count_rows("pairs"),

@@ -1498,54 +1498,29 @@ class NDDPipeline:
         except AppendRefusedError:
             return None  # stale stage-2/2b/3 state: slow path rebuilds
 
-    def append_pages(
-        self, new_pages: DataFrame, substring_pass: bool = True
-    ) -> DataFrame:
-        """O(append) incremental entry point: the caller KNOWS the appended
-        rows and hands exactly them (the reference's ``update_index`` with
-        explicit videoids, ndd/server_ndd.py:307-315) — so the engine skips
-        every per-run O(corpus) control-plane cost ``run_incremental`` pays
-        to INFER the drift from a full snapshot: the stage-0 ``_input_stats``
-        aggregation scan, the stage-1 unsigned-doc discovery anti-join, the
-        stage-2 ``classify_drift`` full-outer join against the corpus-sized
-        ``seen`` table, and the stage-2b reps∖seen_2b discovery anti-join.
-        What remains corpus-proportional is only the DATA-PLANE index probe
-        (map-side scans of the persisted reps/window_index tables — the
-        analog of probing a partitioned index; zero corpus shuffles).
+    @staticmethod
+    def _refuse(why: str):
+        raise AppendRefusedError(
+            f"{why} — fall back to run_incremental(full_snapshot) "
+            "(or run() for a rebuild)"
+        )
 
-        Caller contract (refusals raise ``AppendRefusedError``, nothing
-        mutated):
-        - ``new_pages`` urls must not exist in the catalog — violations are
-          NOT detected here (detecting them is exactly the O(corpus) probe
-          this path exists to skip); a violated contract surfaces as
-          duplicate urls in ``seen``/``clusters``. In-batch duplicate urls
-          ARE detected (the batch-sized stats job counts distinct urls).
-        - The catalog must be a committed, CURRENT build: pages/signatures
-          lineage consistent, pairs (and substring_pairs, when
-          ``substring_pass``) committed under the current run hashes,
-          param stamps matching, clusters committed, no crash marker.
-
-        Crash recovery: a ``delta.inflight`` marker brackets all mutations;
-        after a crash, every delta entry point (including this one) refuses
-        and ``run_incremental(full_snapshot)`` heals the catalog (stage 0/1
-        checksum algebra re-ingests/re-signs exactly the missing rows, the
-        full stage-2 rebuild clears the marker).
-
-        Lineage semantics are identical to ``run_incremental`` on the same
-        appended rows — per-bucket (rows, checksum) advance by the batch's
-        delta via the same mod-2^64 algebra — so the two entry points are
-        interchangeable run-to-run, which tests pin by alternating them."""
-        cfg, cat = self.cfg, self.catalog
-        h1 = cfg.stage1_hash()
-
-        def refuse(why: str):
-            raise AppendRefusedError(
-                f"{why} — fall back to run_incremental(full_snapshot) "
-                "(or run() for a rebuild)"
-            )
-
+    def _delta_preconditions(
+        self, substring_pass: bool
+    ) -> dict[int, tuple[int, int]]:
+        """Shared refusal gate of the explicit O(change) entry points
+        (``append_pages`` / ``delete_pages`` / ``update_pages``): the
+        catalog must be a committed, CURRENT build with healthy delta state
+        — pages/signatures lineage consistent, pairs (and substring_pairs,
+        when ``substring_pass``) committed under the current run hashes,
+        param stamps matching, clusters committed, no crash marker. Every
+        check is footer/lineage-level (zero Spark jobs). Raises
+        ``AppendRefusedError`` (nothing mutated); returns the committed
+        per-bucket pages stats."""
+        cfg, cat, refuse = self.cfg, self.catalog, self._refuse
         if self._delta_suspect():
             refuse("crash marker up (a prior retraction/delta was killed)")
+        h1 = cfg.stage1_hash()
         pstats = cat.latest_partition_stats("pages", h1)
         if not pstats:
             refuse("no committed pages lineage under the current params")
@@ -1585,6 +1560,49 @@ class NDDPipeline:
             cat.exists("clusters") and cat.latest_partition_stats("clusters")
         ):
             refuse("no committed clusters build")
+        return pstats
+
+    def append_pages(
+        self, new_pages: DataFrame, substring_pass: bool = True
+    ) -> DataFrame:
+        """O(append) incremental entry point: the caller KNOWS the appended
+        rows and hands exactly them (the reference's ``update_index`` with
+        explicit videoids, ndd/server_ndd.py:307-315) — so the engine skips
+        every per-run O(corpus) control-plane cost ``run_incremental`` pays
+        to INFER the drift from a full snapshot: the stage-0 ``_input_stats``
+        aggregation scan, the stage-1 unsigned-doc discovery anti-join, the
+        stage-2 ``classify_drift`` full-outer join against the corpus-sized
+        ``seen`` table, and the stage-2b reps∖seen_2b discovery anti-join.
+        What remains corpus-proportional is only the DATA-PLANE index probe
+        (map-side scans of the persisted reps/window_index tables — the
+        analog of probing a partitioned index; zero corpus shuffles).
+
+        Caller contract (refusals raise ``AppendRefusedError``, nothing
+        mutated):
+        - ``new_pages`` urls must not exist in the catalog — violations are
+          NOT detected here (detecting them is exactly the O(corpus) probe
+          this path exists to skip); a violated contract surfaces as
+          duplicate urls in ``seen``/``clusters``. In-batch duplicate urls
+          ARE detected (the batch-sized stats job counts distinct urls).
+        - The catalog must be a committed, CURRENT build: pages/signatures
+          lineage consistent, pairs (and substring_pairs, when
+          ``substring_pass``) committed under the current run hashes,
+          param stamps matching, clusters committed, no crash marker.
+
+        Crash recovery: a ``delta.inflight`` marker brackets all mutations;
+        after a crash, every delta entry point (including this one) refuses
+        and ``run_incremental(full_snapshot)`` heals the catalog (stage 0/1
+        checksum algebra re-ingests/re-signs exactly the missing rows, the
+        full stage-2 rebuild clears the marker).
+
+        Lineage semantics are identical to ``run_incremental`` on the same
+        appended rows — per-bucket (rows, checksum) advance by the batch's
+        delta via the same mod-2^64 algebra — so the two entry points are
+        interchangeable run-to-run, which tests pin by alternating them."""
+        cfg, cat = self.cfg, self.catalog
+        h1 = cfg.stage1_hash()
+        refuse = self._refuse
+        pstats = self._delta_preconditions(substring_pass)
 
         # ---- batch prep: ONE materialization, bucket-pure partitions so
         # both partitioned appends below write one file per task ----
@@ -1711,6 +1729,216 @@ class NDDPipeline:
             # no input snapshot needed, correctness identical
             self.stage3_clusters(resume=True)
         return cat.read("clusters")
+
+    def delete_pages(
+        self,
+        urls: list[str] | DataFrame,
+        substring_pass: bool = True,
+        _merge_clusters: bool = True,
+    ) -> DataFrame:
+        """O(delete) explicit retraction: the caller KNOWS the deleted urls
+        and hands exactly them (the reference's ``update_index`` dropping a
+        vanished video's entries by videoid, ndd/server_ndd.py:246-261) —
+        so the engine skips the drift inference ``run_incremental`` pays on
+        a shrunken snapshot: the stage-0 ``_input_stats`` corpus scan, the
+        per-drifted-bucket stage-0 rewrite from the snapshot, the stage-1
+        RE-SIGNING of every drifted bucket (a uniform delete drifts ALL
+        buckets, so the inferred path re-signs ~the whole surviving corpus
+        through the MinHash UDF), and the ``classify_drift`` full-outer
+        join. Here zero docs are re-signed: pages and signatures are
+        rewritten by a broadcast anti-join over ONLY the buckets holding
+        deleted urls (partition-pruned scans — the Iceberg MERGE/DELETE
+        analog), lineage advances by checksum subtraction (the same
+        mod-2^64 algebra as the append), and the stage-2/2b/3 tables go
+        through the shared targeted-retraction core (``_stage2_retract`` —
+        rep rows inherited verbatim by the min surviving exact-group
+        member, dissolved clusters re-clustered by the stage-3 delta).
+
+        Caller contract (refusals raise ``AppendRefusedError``, nothing
+        mutated): every url must exist in the corpus — verified here
+        cheaply (the checksum scan over the affected buckets counts the
+        matches), unlike ``append_pages``'s unverifiable no-duplicate
+        contract. The retraction must fit the broadcast ceiling
+        (``cfg.max_retract``). The catalog must be a committed, current
+        build (shared ``_delta_preconditions`` gate).
+
+        Crash recovery: ``delta.inflight`` brackets the pages/signatures
+        rewrites, ``retract.inflight`` (inside ``_stage2_retract``) the
+        stage-table rewrites; after a crash every delta entry refuses and
+        ``run_incremental(full_snapshot)`` heals the catalog.
+
+        ``_merge_clusters=False`` (internal, used by ``update_pages``)
+        leaves the retraction log pending so the subsequent append's
+        stage-3 delta commits both halves in one clusters swap."""
+        cfg, cat, refuse = self.cfg, self.catalog, self._refuse
+        h1 = cfg.stage1_hash()
+        pstats = self._delta_preconditions(substring_pass)
+        if not isinstance(urls, DataFrame):
+            urls = self.spark.createDataFrame(
+                [(u,) for u in urls], "url string"
+            )
+        # batch-sized: dedup + bucket each url; one tiny job yields the
+        # affected-bucket list (the partition-pruning key for every corpus
+        # touch below) and the retraction size
+        u = (
+            urls.select("url")
+            .distinct()
+            .withColumn("bucket", self._bucket_expr())
+            .localCheckpoint()
+        )
+        per_bucket_urls = {
+            int(r["bucket"]): int(r["n"])
+            for r in u.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        }
+        n_del = sum(per_bucket_urls.values())
+        if n_del == 0:
+            return cat.read("clusters")
+        if n_del > cfg.max_retract:
+            refuse(
+                f"retraction of {n_del} urls exceeds max_retract="
+                f"{cfg.max_retract} (broadcast-mapping ceiling)"
+            )
+        affected = sorted(per_bucket_urls)
+        bucket_pred = F.col("bucket").isin([int(b) for b in affected])
+        # ONE partition-pruned scan: per-bucket (rows, checksum) of the
+        # doomed rows — both the lineage delta AND the existence check
+        # (pages urls are unique by build invariant, so matched-row count
+        # == number of handed urls actually present)
+        del_stats = {
+            int(r["bucket"]): (int(r["rows"]), _wrap64(int(r["cks"])))
+            for r in self.pages_table()
+            .where(bucket_pred)
+            .join(F.broadcast(u.select("url")), "url", "left_semi")
+            .withColumn("h", F.xxhash64("url", "text"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("cks"),
+            )
+            .collect()
+        }
+        n_found = sum(r for r, _ in del_stats.values())
+        if n_found != n_del:
+            refuse(
+                f"{n_del - n_found} of the handed urls are not in the corpus"
+            )
+        if any(b not in pstats for b in del_stats):
+            refuse("deleted rows found in buckets with no committed lineage")
+        merged = {
+            b: (
+                pstats[b][0] - d[0],
+                _wrap64(pstats[b][1] - d[1]),
+            )
+            for b, d in del_stats.items()
+        }
+
+        # ---- stages 0/1: anti-join rewrite of ONLY the affected buckets,
+        # zero re-signing. Input tasks are bucket-pure (bucket-partitioned
+        # parquet + broadcast join preserves partitioning), so the dynamic
+        # partition overwrite writes one file per task without a shuffle.
+        t0 = time.monotonic()
+        self._set_marker("delta.inflight")
+        for table in ("pages", "signatures"):
+            # checkpointed: the write overwrites partitions the plan reads
+            # (same source-break rule as the _stage2_retract relabels)
+            survivors = (
+                cat.read(table)
+                .where(bucket_pred)
+                .join(F.broadcast(u.select("url")), "url", "left_anti")
+                .localCheckpoint()
+            )
+            cat.write(
+                survivors,
+                table,
+                partition_by=["bucket"],
+                mode="overwrite",
+                max_records_per_file=2048,
+            )
+            for b, m in merged.items():
+                if m[0] == 0:
+                    # dynamic overwrite never touches a partition with zero
+                    # output rows — drop the emptied bucket dir explicitly
+                    cat.drop_partition(table, b)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        for table in ("pages", "signatures"):
+            cat.mark_complete(
+                table,
+                h1,
+                {b: m[0] for b, m in merged.items()},
+                wall_ms,
+                checksums={b: m[1] for b, m in merged.items()},
+            )
+        cat.add_metrics(
+            "pages",
+            {
+                "deleted_docs": n_del,
+                "buckets_rewritten": len(affected),
+                "buckets_dropped": sum(
+                    1 for m in merged.values() if m[0] == 0
+                ),
+                "wall_ms": wall_ms,
+            },
+        )
+
+        # ---- stages 2/2b: the shared targeted-retraction core (broadcast
+        # relabel/drop per stage table; rep rows inherited by the min
+        # surviving exact-group member) — size pre-checked above, so a
+        # False here is unreachable; surface rather than silently rebuild
+        if not self._stage2_retract(u.select("url"), cfg.max_retract):
+            refuse(
+                "stage-2 retraction declined mid-delete (pages/signatures "
+                "already rewritten — heal with run_incremental)"
+            )
+        # no appended docs: commit pairs/substring_pairs under the NEW run
+        # hashes (the lineage advance above changed them) — same contract
+        # as stage2_pairs_delta's n_new == 0 branch
+        cat.mark_complete(
+            "pairs", self.stage2_run_hash(), {-1: cat.count_rows("pairs")}, 0
+        )
+        if substring_pass:
+            cat.mark_complete(
+                "substring_pairs",
+                self.stage2b_run_hash(),
+                {-1: cat.count_rows("substring_pairs")},
+                0,
+            )
+        self._clear_marker("delta.inflight")
+
+        # ---- stage 3: dissolve + re-cluster only the touched clusters
+        if _merge_clusters:
+            if not self.stage3_clusters_delta():
+                # wide-dissolve fallback (over the broadcast ceiling): full
+                # CC over the committed edge tables, correctness identical
+                self.stage3_clusters(resume=True)
+        return cat.read("clusters")
+
+    def update_pages(
+        self, changed_rows: DataFrame, substring_pass: bool = True
+    ) -> DataFrame:
+        """O(edit) explicit upsert: the caller hands the NEW (url, text)
+        rows of docs that already exist (the reference's ``update_index``
+        re-indexing explicit videoids, ndd/server_ndd.py:307-315). The
+        inferred edit path (``run_incremental`` on the full snapshot)
+        re-signs every drifted bucket — ~the whole corpus for a uniform
+        edit set; here ONLY the handed batch goes through the signature
+        UDF. Composition: ``delete_pages(urls)`` retracts the old rows
+        (leaving the stage-3 retraction log pending), then ``append_pages``
+        re-enters the batch, and its stage-3 delta commits both halves —
+        retraction dissolves + appended edges — in ONE clusters swap (the
+        same mixed-drift shape ``run_incremental`` produces).
+
+        Crash/refusal mid-way (after the delete committed, before the
+        append): the catalog is consistent — the docs are deleted, the
+        retraction log is pending, and every entry point still works;
+        re-hand the batch to ``append_pages`` or heal with
+        ``run_incremental(full_snapshot)``."""
+        batch = changed_rows.select("url", "text").localCheckpoint()
+        self.delete_pages(
+            batch.select("url"),
+            substring_pass=substring_pass,
+            _merge_clusters=False,
+        )
+        return self.append_pages(batch, substring_pass=substring_pass)
 
 
 class AppendRefusedError(RuntimeError):
