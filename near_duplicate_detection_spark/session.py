@@ -66,7 +66,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local mode = ONE JVM for driver + all 32 executor threads: heap
+        # must cover 32 concurrent task buffers + broadcast builds +
+        # localCheckpoint blocks. 16g starved a 400k-doc append onto a
+        # 4M-doc corpus ("Not enough memory to build and broadcast"); the
+        # sandbox has 128 GiB — size like a real 32-core executor group.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Input-split granularity for Arrow-UDF-heavy stages: the 128 MB
