@@ -1734,7 +1734,6 @@ class NDDPipeline:
         self,
         urls: list[str] | DataFrame,
         substring_pass: bool = True,
-        _merge_clusters: bool = True,
     ) -> DataFrame:
         """O(delete) explicit retraction: the caller KNOWS the deleted urls
         and hands exactly them (the reference's ``update_index`` dropping a
@@ -1765,11 +1764,7 @@ class NDDPipeline:
         Crash recovery: ``delta.inflight`` brackets the pages/signatures
         rewrites, ``retract.inflight`` (inside ``_stage2_retract``) the
         stage-table rewrites; after a crash every delta entry refuses and
-        ``run_incremental(full_snapshot)`` heals the catalog.
-
-        ``_merge_clusters=False`` (internal, used by ``update_pages``)
-        leaves the retraction log pending so the subsequent append's
-        stage-3 delta commits both halves in one clusters swap."""
+        ``run_incremental(full_snapshot)`` heals the catalog."""
         cfg, cat, refuse = self.cfg, self.catalog, self._refuse
         h1 = cfg.stage1_hash()
         pstats = self._delta_preconditions(substring_pass)
@@ -1905,40 +1900,221 @@ class NDDPipeline:
         self._clear_marker("delta.inflight")
 
         # ---- stage 3: dissolve + re-cluster only the touched clusters
-        if _merge_clusters:
-            if not self.stage3_clusters_delta():
-                # wide-dissolve fallback (over the broadcast ceiling): full
-                # CC over the committed edge tables, correctness identical
-                self.stage3_clusters(resume=True)
+        if not self.stage3_clusters_delta():
+            # wide-dissolve fallback (over the broadcast ceiling): full
+            # CC over the committed edge tables, correctness identical
+            self.stage3_clusters(resume=True)
         return cat.read("clusters")
 
     def update_pages(
         self, changed_rows: DataFrame, substring_pass: bool = True
     ) -> DataFrame:
-        """O(edit) explicit upsert: the caller hands the NEW (url, text)
-        rows of docs that already exist (the reference's ``update_index``
-        re-indexing explicit videoids, ndd/server_ndd.py:307-315). The
-        inferred edit path (``run_incremental`` on the full snapshot)
-        re-signs every drifted bucket — ~the whole corpus for a uniform
-        edit set; here ONLY the handed batch goes through the signature
-        UDF. Composition: ``delete_pages(urls)`` retracts the old rows
-        (leaving the stage-3 retraction log pending), then ``append_pages``
-        re-enters the batch, and its stage-3 delta commits both halves —
-        retraction dissolves + appended edges — in ONE clusters swap (the
-        same mixed-drift shape ``run_incremental`` produces).
+        """O(edit) explicit upsert, single-pass: the caller hands the NEW
+        (url, text) rows of docs that already exist (the reference's
+        ``update_index`` re-indexing explicit videoids,
+        ndd/server_ndd.py:307-315). The inferred edit path
+        (``run_incremental`` on the full snapshot) re-signs every drifted
+        bucket — ~the whole corpus for a uniform edit set; here ONLY the
+        handed batch goes through the signature UDF.
 
-        Crash/refusal mid-way (after the delete committed, before the
-        append): the catalog is consistent — the docs are deleted, the
-        retraction log is pending, and every entry point still works;
-        re-hand the batch to ``append_pages`` or heal with
-        ``run_incremental(full_snapshot)``."""
-        batch = changed_rows.select("url", "text").localCheckpoint()
-        self.delete_pages(
-            batch.select("url"),
-            substring_pass=substring_pass,
-            _merge_clusters=False,
+        Fused, not composed: the former delete_pages + append_pages
+        composition paid both delta chains' fixed costs — each affected
+        bucket of pages AND signatures written twice (anti-join overwrite,
+        then append), four lineage commits, two run-hash advances with an
+        intermediate no-op pairs/substring_pairs commit between them.
+        Every updated url keeps its bucket (bucket = f(url)), so here each
+        affected bucket is rewritten ONCE with survivors ∪ re-signed batch
+        rows, per-bucket row counts are INVARIANT and lineage advances
+        ONCE by checksum substitution (old rows subtracted, batch rows
+        added — the same mod-2^64 algebra), and the shared stage-2
+        retraction + append cores run back-to-back under the single final
+        run hash. Stage 3 commits both halves — retraction dissolves +
+        appended edges — in ONE clusters swap (the same mixed-drift shape
+        ``run_incremental`` produces).
+
+        Caller contract (refusals raise ``AppendRefusedError``, nothing
+        mutated): every url must already exist in the corpus — verified
+        cheaply by the affected-bucket checksum scan; no duplicate urls in
+        the batch; the batch must fit the broadcast-mapping ceiling
+        (``cfg.max_retract``); the catalog must be a committed, current
+        build (shared ``_delta_preconditions`` gate).
+
+        Crash recovery: ``delta.inflight`` brackets the pages/signatures
+        rewrites and the stage-2 appends, ``retract.inflight`` (inside
+        ``_stage2_retract``) the stage-table relabels; after a crash every
+        delta entry refuses and ``run_incremental(full_snapshot)`` heals
+        the catalog."""
+        cfg, cat, refuse = self.cfg, self.catalog, self._refuse
+        h1 = cfg.stage1_hash()
+        pstats = self._delta_preconditions(substring_pass)
+
+        # ---- batch prep: ONE materialization, bucket-pure partitions so
+        # both partitioned rewrites below write one file per task ----
+        new_rows = (
+            changed_rows.select("url", "text")
+            .withColumn("bucket", self._bucket_expr())
+            .withColumn("h", F.xxhash64("url", "text"))
+            .repartition("bucket")
+            .localCheckpoint()
         )
-        return self.append_pages(batch, substring_pass=substring_pass)
+        agg = (
+            new_rows.groupBy("bucket")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("cks"),
+                F.countDistinct("url").alias("urls"),
+            )
+            .collect()
+        )
+        add_stats = {
+            int(r["bucket"]): (int(r["rows"]), _wrap64(int(r["cks"])))
+            for r in agg
+        }
+        n_upd = sum(r for r, _ in add_stats.values())
+        if n_upd == 0:
+            return cat.read("clusters")
+        if n_upd != sum(int(r["urls"]) for r in agg):
+            refuse("batch contains duplicate urls")
+        if n_upd > cfg.max_retract:
+            refuse(
+                f"update of {n_upd} urls exceeds max_retract="
+                f"{cfg.max_retract} (broadcast-mapping ceiling)"
+            )
+        urls = new_rows.select("url")
+        affected = sorted(add_stats)
+        bucket_pred = F.col("bucket").isin([int(b) for b in affected])
+        # ONE partition-pruned scan: per-bucket (rows, checksum) of the
+        # doomed OLD rows — the subtraction half of the lineage delta AND
+        # the existence check (pages urls are unique by build invariant,
+        # so matched-row count == number of handed urls actually present)
+        del_stats = {
+            int(r["bucket"]): (int(r["rows"]), _wrap64(int(r["cks"])))
+            for r in self.pages_table()
+            .where(bucket_pred)
+            .join(F.broadcast(urls), "url", "left_semi")
+            .withColumn("h", F.xxhash64("url", "text"))
+            .groupBy("bucket")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.col("h").cast("decimal(38,0)")).alias("cks"),
+            )
+            .collect()
+        }
+        n_found = sum(r for r, _ in del_stats.values())
+        if n_found != n_upd:
+            refuse(
+                f"{n_upd - n_found} of the handed urls are not in the corpus"
+            )
+        if any(b not in pstats for b in del_stats):
+            refuse("updated rows found in buckets with no committed lineage")
+        # bucket = f(url): every replaced row re-enters its own bucket, so
+        # per-bucket row counts hold and only the checksums substitute
+        merged = {
+            b: (
+                pstats[b][0] - del_stats[b][0] + a[0],
+                _wrap64(pstats[b][1] - del_stats[b][1] + a[1]),
+            )
+            for b, a in add_stats.items()
+        }
+
+        # ---- stage 1 compute: sign ONLY the batch (pure — no mutation
+        # yet, so a crash here needs no heal; partitions stay bucket-pure
+        # through the Arrow map)
+        t0 = time.monotonic()
+        new_sigs = (
+            new_rows.select("url", "text")
+            .mapInPandas(signature_map_fn(cfg), schema=SIGNATURE_SCHEMA)
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int"),
+            )
+            .localCheckpoint()
+        )
+
+        # ---- stages 0/1 commit: each affected bucket rewritten ONCE with
+        # survivors ∪ batch rows. Partition-pruned scans; bucket-pure
+        # tasks, so the dynamic overwrite writes one file per task.
+        self._set_marker("delta.inflight")
+        for table, fresh in (
+            ("pages", new_rows.drop("h")),
+            ("signatures", new_sigs),
+        ):
+            # checkpointed: the write overwrites partitions the plan reads.
+            # allowMissingColumns: the stored pages table keeps the input's
+            # full schema (warc_ts/html/lang ride along); the batch carries
+            # only (url, text, bucket) — extraction inputs — so its rows
+            # null-fill the passthrough columns, same as an appended batch
+            replaced = (
+                cat.read(table)
+                .where(bucket_pred)
+                .join(F.broadcast(urls), "url", "left_anti")
+                .unionByName(fresh, allowMissingColumns=True)
+                .localCheckpoint()
+            )
+            cat.write(
+                replaced,
+                table,
+                partition_by=["bucket"],
+                mode="overwrite",
+                max_records_per_file=2048,
+            )
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        for table in ("pages", "signatures"):
+            cat.mark_complete(
+                table,
+                h1,
+                {b: m[0] for b, m in merged.items()},
+                wall_ms,
+                checksums={b: m[1] for b, m in merged.items()},
+            )
+        cat.add_metrics(
+            "pages",
+            {
+                "updated_docs": n_upd,
+                "buckets_rewritten": len(affected),
+                "wall_ms": wall_ms,
+            },
+        )
+        cat.add_metrics(
+            "signatures",
+            {
+                "buckets_computed": 0,
+                "buckets_appended": 0,
+                "appended_docs_signed": n_upd,
+                "wall_ms": wall_ms,
+            },
+        )
+
+        # ---- stage 2: the shared retraction core (old rows out of every
+        # stage table; rep rows inherited by the min surviving exact-group
+        # member), then the shared append core — back-to-back under the
+        # ONE final run hash (size pre-checked above, so a False here is
+        # unreachable; surface rather than silently rebuild)
+        if not self._stage2_retract(urls, cfg.max_retract):
+            refuse(
+                "stage-2 retraction declined mid-update (pages/signatures "
+                "already rewritten — heal with run_incremental)"
+            )
+        h2 = self.stage2_run_hash()  # AFTER the single stage-1 advance
+        new_rep_urls = self._stage2_apply_append(
+            new_sigs.select("url", "fp", "bands", "simhash"),
+            n_upd,
+            h2,
+            time.monotonic(),
+        )
+        if substring_pass:
+            if not self.stage2b_delta(
+                new_urls=new_rep_urls,
+                new_pages=new_rows.select("url", "text"),
+            ):
+                refuse("stage-2b delta state became invalid mid-update")
+
+        # ---- stage 3: ONE clusters swap commits retraction + re-append
+        if not self.stage3_clusters_delta():
+            # wide-merge/dissolve fallback (over the broadcast ceiling):
+            # full CC over the committed edge tables, correctness identical
+            self.stage3_clusters(resume=True)
+        return cat.read("clusters")
 
 
 class AppendRefusedError(RuntimeError):

@@ -254,6 +254,73 @@ def test_update_pages_matches_full_rebuild_signs_only_batch(
         assert not pipe.catalog.exists(t)
 
 
+def test_update_pages_refusals_mutate_nothing(
+    spark, tmp_path_factory, base_catalog
+):
+    pipe = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_er_uref")
+    )
+    n_pages = pipe.catalog.count_rows("pages")
+
+    def batch_of(rows):
+        return spark.createDataFrame(rows, "url string, text string")
+
+    # unknown url — the affected-bucket checksum scan counts the matches
+    with pytest.raises(AppendRefusedError, match="not in the corpus"):
+        pipe.update_pages(
+            batch_of(
+                [(url_of(5), "x"), ("https://nowhere.example.com/p/x", "y")]
+            )
+        )
+    # duplicate urls in the batch — two texts for one url is ambiguous
+    with pytest.raises(AppendRefusedError, match="duplicate urls"):
+        pipe.update_pages(batch_of([(url_of(5), "x"), (url_of(5), "y")]))
+    # over the broadcast-mapping ceiling (execution knob, not a stage hash)
+    capped = NDDPipeline(
+        spark,
+        NDDConfig(num_buckets=4, max_retract=2),
+        pipe.catalog.base_dir,
+    )
+    with pytest.raises(AppendRefusedError, match="max_retract"):
+        capped.update_pages(
+            batch_of([(url_of(i), f"t{i}") for i in (1, 2, 3, 4)])
+        )
+    assert pipe.catalog.count_rows("pages") == n_pages
+    assert pipe.catalog.count_rows("pairs") > 0
+    assert not pipe._delta_suspect()
+    # empty batch is a no-op, not a refusal
+    assert pipe.update_pages(batch_of([])).count() == N
+
+
+def test_update_pages_fused_beats_delete_then_append(
+    spark, tmp_path_factory, base_catalog
+):
+    """The single-pass update must land on the same partition as the
+    delete→append composition while scheduling materially fewer jobs (each
+    affected bucket written once per table, one lineage advance, no
+    intermediate no-op pairs/substring_pairs commit)."""
+    edit_urls = [url_of(i) for i in (20, 43, 57, 88)]
+    batch = spark.createDataFrame(
+        [(u, f"rewritten body for {u} with fresh content") for u in edit_urls],
+        "url string, text string",
+    )
+    p_fused = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_er_fuse")
+    )
+    j0 = _n_jobs(spark)
+    fused = p_fused.update_pages(batch).toPandas()
+    jobs_fused = _n_jobs(spark) - j0
+    p_comp = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_er_comp")
+    )
+    j0 = _n_jobs(spark)
+    p_comp.delete_pages(edit_urls)
+    composed = p_comp.append_pages(batch).toPandas()
+    jobs_composed = _n_jobs(spark) - j0
+    assert _partition(fused) == _partition(composed)
+    assert jobs_fused < jobs_composed, (jobs_fused, jobs_composed)
+
+
 def test_explicit_paths_schedule_fewer_jobs_than_inferred(
     spark, tmp_path_factory, base_catalog
 ):
