@@ -1129,8 +1129,10 @@ class NDDPipeline:
         as raw nodes from the post-retraction edge tables (a map-side
         semi-join filter over the full pairs/substring_pairs tables against
         the dissolved membership — an O(edges) READ, but no wide shuffle
-        and no re-verification), side by side with the appended edges. The corpus-
-        proportional cost left is one map-side rewrite of the clusters
+        and no re-verification), side by side with the appended edges. A
+        pure append with ZERO label merges (the common case) commits by
+        appending only the new rows — O(append), no corpus-table touch;
+        only merge/retract runs pay the map-side rewrite of the clusters
         table (broadcast remap join + union of new rows) — an Iceberg
         MERGE at production scale.
 
@@ -1257,6 +1259,42 @@ class NDDPipeline:
             )
         else:
             new_rows = new_rows.withColumn("cluster_id", F.col("url"))
+        if not has_retract and n_remap == 0:
+            # O(append) commit: nothing dissolved and zero label merges, so
+            # every committed row is already correct (min-label invariant:
+            # any merge or label change would surface as a remap entry) —
+            # APPEND only the new rows instead of rewriting and swapping the
+            # whole corpus-sized table. This removes the last
+            # corpus-proportional cost on the pure-append stage-3 path; the
+            # rewrite-and-swap below remains the merge/retract path's
+            # Iceberg-MERGE analog. Crash protocol: marker up across
+            # append + log wipe — a crash leaves the marker, every delta
+            # entry refuses, and the idempotent full rebuild heals.
+            appended = new_rows.withColumn(
+                "is_representative", F.col("url") == F.col("cluster_id")
+            ).coalesce(1)
+            self._set_marker("delta.inflight")
+            cat.write(appended, "clusters", mode="append")
+            n = cat.count_rows("clusters")  # footer read, no Spark job
+            for t in self._STAGE3_LOG_TABLES:
+                _shutil.rmtree(cat.path(t), ignore_errors=True)
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            cat.mark_complete("clusters", h, {-1: n}, wall_ms)
+            self._clear_marker("delta.inflight")
+            cat.add_metrics(
+                "clusters",
+                {
+                    "rows": n,
+                    "delta_new_edges": n_new_edges,
+                    "delta_new_urls": n - n_old_rows,
+                    "delta_merged_labels": 0,
+                    "delta_retracted_urls": 0,
+                    "delta_dissolved_clusters": 0,
+                    "delta_append_only_commit": 1,
+                    "wall_ms": wall_ms,
+                },
+            )
+            return True
         updated_old = base_old
         if remap is not None:
             rm = remap.select(

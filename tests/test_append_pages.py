@@ -250,3 +250,52 @@ def test_pure_append_fast_path_routing(
         spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_fp_del")
     )
     assert pipe_d._try_pure_append(shrunk, True) is None
+
+
+def test_pure_append_commits_clusters_append_only(
+    spark, tmp_path_factory, base_catalog
+):
+    """A pure append with zero label merges must commit stage 3 by
+    APPENDING only the new rows: the committed clusters files are left
+    byte-untouched on disk (no corpus-table rewrite — the last
+    corpus-proportional cost on the pure-append path), old memberships are
+    unchanged, the novel docs enter as singletons, and the append log is
+    consumed."""
+    import os
+
+    pipe = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_ap_aoc")
+    )
+    before = pipe.catalog.read("clusters").toPandas()
+    cdir = pipe.catalog.path("clusters")
+    files_before = {f for f in os.listdir(cdir) if f.endswith(".parquet")}
+    batch = spark.createDataFrame(
+        [
+            (
+                f"https://novel{i}.example/x",
+                " ".join(f"novelword{i}x{j:03d}" for j in range(80)),
+            )
+            for i in range(12)
+        ],
+        "url string, text string",
+    )
+    after = pipe.append_pages(batch).toPandas()
+    assert len(after) == N1 + 12
+    files_after = {f for f in os.listdir(cdir) if f.endswith(".parquet")}
+    assert files_before <= files_after, "old clusters files were rewritten"
+    assert len(files_after) > len(files_before)
+    # old memberships byte-for-byte; novel docs are singleton clusters
+    assert _partition(after[after.url.isin(set(before.url))]) == _partition(
+        before
+    )
+    novel = after[~after.url.isin(set(before.url))]
+    assert (novel.url == novel.cluster_id).all()
+    assert novel.is_representative.all()
+    m = pipe.catalog.read("metrics").toPandas()
+    assert (
+        m[(m.stage == "clusters") & (m.key == "delta_append_only_commit")]
+        .value
+        == 1
+    ).any()
+    assert not pipe.catalog.exists("edges_new")
+    assert not pipe.catalog.exists("urls_new")
