@@ -53,6 +53,50 @@ def trace_methods(cls, names, log, spark):
     return originals
 
 
+def trace_actions(log, spark):
+    """Wrap the eager DataFrame actions (localCheckpoint/count/collect) to
+    attribute jobs+wall to the engine call site (file:line)."""
+    import traceback
+
+    from pyspark.sql import DataFrame
+
+    originals = {}
+    for name in ("localCheckpoint", "count", "collect"):
+        orig = getattr(DataFrame, name)
+        originals[name] = orig
+
+        def make(nm, fn):
+            def wrapper(self, *a, **k):
+                site = "?"
+                for fr in reversed(traceback.extract_stack(limit=12)):
+                    if "near_duplicate_detection_spark" in fr.filename:
+                        site = f"{fr.filename.rsplit('/', 1)[-1]}:{fr.lineno}"
+                        break
+                j0, t0 = n_jobs(spark), time.monotonic()
+                try:
+                    return fn(self, *a, **k)
+                finally:
+                    log.append(
+                        (
+                            f"    {nm}@{site}",
+                            n_jobs(spark) - j0,
+                            time.monotonic() - t0,
+                        )
+                    )
+
+            return wrapper
+
+        setattr(DataFrame, name, make(name, orig))
+    return originals
+
+
+def untrace_actions(originals):
+    from pyspark.sql import DataFrame
+
+    for name, fn in originals.items():
+        setattr(DataFrame, name, fn)
+
+
 def trace_catalog(cat_cls, log, spark):
     orig_write = cat_cls.write
     orig_count = cat_cls.count_rows
@@ -109,6 +153,7 @@ def main():
             ]
             originals = trace_methods(NDDPipeline, methods, log, spark)
             cat_orig = trace_catalog(StageCatalog, log, spark)
+            act_orig = trace_actions(log, spark)
             j0, t0 = n_jobs(spark), time.monotonic()
             if mode == "append":
                 batch = generate_pages(spark, N_BASE + N_APP, start=N_BASE)
@@ -128,6 +173,7 @@ def main():
             for name, fn in originals.items():
                 setattr(NDDPipeline, name, fn)
             StageCatalog.write, StageCatalog.count_rows = cat_orig
+            untrace_actions(act_orig)
             print(f"\n=== {mode}: {total_j} jobs, {total_t:.1f}s ===")
             for name, j, w in log:
                 print(f"  {name:38s} {j:4d} jobs  {w:7.2f}s")

@@ -35,12 +35,13 @@ def main(argv: list[str] | None = None) -> int:
     from pyspark.sql import functions as F
 
     from near_duplicate_detection_spark.lineage import StageCatalog
+    from near_duplicate_detection_spark.pipeline import patched_clusters
 
     spark = SparkSession.builder.appName("ndd-report").getOrCreate()
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     catalog = StageCatalog(spark, args.catalog)
 
-    clusters = catalog.read("clusters")
+    clusters = patched_clusters(catalog)
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("size"))
 
     stats = sizes.agg(

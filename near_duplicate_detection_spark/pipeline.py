@@ -452,6 +452,12 @@ class NDDPipeline:
     # it on commit (consumed). Missing log ⇒ stage 3 runs full.
     _STAGE3_LOG_TABLES = ("edges_new", "urls_new", "urls_retracted")
 
+    def clusters_view(self) -> DataFrame:
+        """The committed clusters with the merge-on-read label patch applied
+        — see ``patched_clusters``. Every consumer of cluster labels must
+        read through this, never ``catalog.read("clusters")`` raw."""
+        return patched_clusters(self.catalog)
+
     # ---------- stage 2 ----------
 
     def stage2_pairs(self, resume: bool = True) -> None:
@@ -1081,6 +1087,10 @@ class NDDPipeline:
             resume
             and cat.completed_partitions("clusters", h)
             and cat.exists("clusters")
+            # content-derived hashes can cycle back to an ancient commit's
+            # value while a stage-3 log still holds un-applied changes
+            # (append X then delete X) — never trust the resume row then
+            and not any(cat.exists(t) for t in self._STAGE3_LOG_TABLES)
         ):
             return
         t0 = time.monotonic()
@@ -1103,6 +1113,11 @@ class NDDPipeline:
 
         for t in self._STAGE3_LOG_TABLES:
             _shutil.rmtree(cat.path(t), ignore_errors=True)
+        # the full build recomputes every label from the edge tables, so the
+        # merge-on-read patch is superseded — wipe it with the logs (before
+        # the write: a stale patch key could collide with a legitimately
+        # re-emerging label in the rebuilt table)
+        _shutil.rmtree(cat.path("cluster_remap"), ignore_errors=True)
         cat.write(clusters, "clusters")
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("clusters")
@@ -1163,19 +1178,27 @@ class NDDPipeline:
             # may reference edges whose pairs append never committed
             return False
         h = self.stage3_run_hash()
-        if cat.completed_partitions("clusters", h):
-            return True
-        if not (cat.exists("clusters") and cat.latest_partition_stats("clusters")):
-            return False  # no committed prior build to delta against
         has_retract = cat.exists("urls_retracted")
         has_edges = cat.exists("edges_new")
         has_urls = cat.exists("urls_new")
-        if not (has_edges or has_urls or has_retract):
+        log_pending = has_edges or has_urls or has_retract
+        # "already current" is only trustworthy with NO pending log: run
+        # hashes are CONTENT-derived, so a change that restores an earlier
+        # content state (append a doc, then delete that same doc) collides
+        # with the ancient commit's hash while the log still holds the
+        # un-applied retraction — the stale lineage row must not shadow it
+        if cat.completed_partitions("clusters", h) and not log_pending:
+            return True
+        if not (cat.exists("clusters") and cat.latest_partition_stats("clusters")):
+            return False  # no committed prior build to delta against
+        if not log_pending:
             return False  # no log → edge set may have been rebuilt wholesale
         t0 = time.monotonic()
         n_new_edges = cat.count_rows("edges_new") if has_edges else 0
         n_old_rows = cat.count_rows("clusters")  # footer read, no Spark job
-        old = cat.read("clusters").select("url", "cluster_id")
+        # the VIEW (patched labels): new remaps must contract against what
+        # readers currently see, and any rewrite below must fold the patch
+        old = self.clusters_view().select("url", "cluster_id")
         if has_retract:
             retr = (
                 cat.read("urls_retracted")
@@ -1227,6 +1250,7 @@ class NDDPipeline:
             remap, node_labels, n_remap = cluster_label_delta(
                 base_old, combined, driver_cc_max=self.cfg.driver_cc_max
             )
+            driver_solved = n_remap is not None
             if n_remap is None:
                 # distributed-CC fallback: remap is a real plan — materialize
                 # once and count it for the broadcast size guard
@@ -1240,6 +1264,7 @@ class NDDPipeline:
         else:
             remap = node_labels = None
             n_remap = 0
+            driver_solved = True  # vacuously: no edges, no remaps
         new_rows = (
             cat.read("urls_new").select("url").distinct()
             if has_urls
@@ -1259,42 +1284,68 @@ class NDDPipeline:
             )
         else:
             new_rows = new_rows.withColumn("cluster_id", F.col("url"))
-        if not has_retract and n_remap == 0:
-            # O(append) commit: nothing dissolved and zero label merges, so
-            # every committed row is already correct (min-label invariant:
-            # any merge or label change would surface as a remap entry) —
-            # APPEND only the new rows instead of rewriting and swapping the
-            # whole corpus-sized table. This removes the last
-            # corpus-proportional cost on the pure-append stage-3 path; the
-            # rewrite-and-swap below remains the merge/retract path's
-            # Iceberg-MERGE analog. Crash protocol: marker up across
-            # append + log wipe — a crash leaves the marker, every delta
-            # entry refuses, and the idempotent full rebuild heals.
-            appended = new_rows.withColumn(
-                "is_representative", F.col("url") == F.col("cluster_id")
-            ).coalesce(1)
-            self._set_marker("delta.inflight")
-            cat.write(appended, "clusters", mode="append")
-            n = cat.count_rows("clusters")  # footer read, no Spark job
-            for t in self._STAGE3_LOG_TABLES:
-                _shutil.rmtree(cat.path(t), ignore_errors=True)
-            wall_ms = int((time.monotonic() - t0) * 1000)
-            cat.mark_complete("clusters", h, {-1: n}, wall_ms)
-            self._clear_marker("delta.inflight")
-            cat.add_metrics(
-                "clusters",
-                {
-                    "rows": n,
-                    "delta_new_edges": n_new_edges,
-                    "delta_new_urls": n - n_old_rows,
-                    "delta_merged_labels": 0,
-                    "delta_retracted_urls": 0,
-                    "delta_dissolved_clusters": 0,
-                    "delta_append_only_commit": 1,
-                    "wall_ms": wall_ms,
-                },
+        if not has_retract and driver_solved:
+            # O(append) commit (merge-on-read): the new rows land as an
+            # APPEND and label merges land as patch rows in the
+            # ``cluster_remap`` sidecar (old_label → new_label, applied by
+            # every reader through ``patched_clusters``) — the
+            # corpus-sized table is never rewritten on the append path. The
+            # new remaps operate on PATCHED labels (``old`` above reads the
+            # view), so the stored patch composes with them transitively;
+            # labels only ever decrease (min-root union-find), so a folded
+            # key can never re-emerge as a displayed label and one join
+            # pass resolves every row. Over the broadcast ceiling the
+            # rewrite-and-swap below folds the patch instead (the
+            # Iceberg-MERGE analog, shared with the retract path). Crash
+            # protocol: marker up across append + patch write + log wipe —
+            # a crash leaves the marker, every delta entry refuses, and the
+            # idempotent full rebuild heals.
+            changed = (
+                {r["url"]: r["label"] for r in remap.collect()}
+                if n_remap
+                else {}
             )
-            return True
+            new_patch = self._compose_label_patch(changed)
+            if len(new_patch) <= max_remap:
+                appended = new_rows.withColumn(
+                    "is_representative", F.col("url") == F.col("cluster_id")
+                ).coalesce(1)
+                self._set_marker("delta.inflight")
+                cat.write(appended, "clusters", mode="append")
+                if new_patch:
+                    cat.write(
+                        self.spark.createDataFrame(
+                            sorted(new_patch.items()),
+                            "old_label string, new_label string",
+                        ).coalesce(1),
+                        "cluster_remap",
+                        mode="overwrite",
+                    )
+                else:
+                    _shutil.rmtree(
+                        cat.path("cluster_remap"), ignore_errors=True
+                    )
+                n = cat.count_rows("clusters")  # footer read, no Spark job
+                for t in self._STAGE3_LOG_TABLES:
+                    _shutil.rmtree(cat.path(t), ignore_errors=True)
+                wall_ms = int((time.monotonic() - t0) * 1000)
+                cat.mark_complete("clusters", h, {-1: n}, wall_ms)
+                self._clear_marker("delta.inflight")
+                cat.add_metrics(
+                    "clusters",
+                    {
+                        "rows": n,
+                        "delta_new_edges": n_new_edges,
+                        "delta_new_urls": n - n_old_rows,
+                        "delta_merged_labels": n_remap,
+                        "delta_retracted_urls": 0,
+                        "delta_dissolved_clusters": 0,
+                        "delta_append_only_commit": 1,
+                        "delta_patch_rows": len(new_patch),
+                        "wall_ms": wall_ms,
+                    },
+                )
+                return True
         updated_old = base_old
         if remap is not None:
             rm = remap.select(
@@ -1332,6 +1383,9 @@ class NDDPipeline:
         )
         for t in self._STAGE3_LOG_TABLES:
             _shutil.rmtree(cat.path(t), ignore_errors=True)
+        # the staged table was built from the VIEW, so the patch is folded
+        # into it — wipe the sidecar with the logs, before the swap
+        _shutil.rmtree(cat.path("cluster_remap"), ignore_errors=True)
         _shutil.rmtree(cat.path("clusters"), ignore_errors=True)
         os.rename(cat.path("clusters_next"), cat.path("clusters"))
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -1355,12 +1409,37 @@ class NDDPipeline:
         )
         return True
 
+    def _compose_label_patch(
+        self, changed: dict[str, str]
+    ) -> dict[str, str]:
+        """Compose the stored merge-on-read patch with this run's remaps.
+
+        The stored patch maps physical labels to CURRENT (displayed)
+        labels; ``changed`` maps current labels to this run's new labels —
+        so the composition chains stored values through ``changed``, and
+        ``changed`` keys not already covered become new patch keys.
+        Both inputs are transitively closed (union-find roots are never
+        keys; the store is composed on every commit), so the result is too.
+        Driver-side dict math over broadcast-ceiling-bounded inputs."""
+        cat = self.catalog
+        patch: dict[str, str] = {}
+        if cat.exists("cluster_remap"):
+            patch = {
+                r["old_label"]: r["new_label"]
+                for r in cat.read("cluster_remap").collect()
+            }
+        out = {o: changed.get(n, n) for o, n in patch.items()}
+        for c, n in changed.items():
+            if c not in patch:
+                out[c] = n
+        return {o: n for o, n in out.items() if o != n}
+
     def _multi_doc_clusters(self) -> int:
         """Count of clusters with ≥2 members — a distributed groupBy over the
         written clusters table (off the stage's critical path, after the
         commit; never a corpus-proportional driver-side column pull)."""
         return (
-            self.catalog.read("clusters")
+            self.clusters_view()
             .groupBy("cluster_id")
             .count()
             .where(F.col("count") > 1)
@@ -1411,7 +1490,7 @@ class NDDPipeline:
         if substring_pass:
             self.stage2b_substring(resume)
         self.stage3_clusters(resume)
-        return self.catalog.read("clusters")
+        return self.clusters_view()
 
     def run_incremental(
         self,
@@ -1456,7 +1535,7 @@ class NDDPipeline:
                 self.stage2b_substring(resume=True)
         if not self.stage3_clusters_delta():
             self.stage3_clusters(resume=True)
-        return self.catalog.read("clusters")
+        return self.clusters_view()
 
     def _try_pure_append(
         self, pages: DataFrame, substring_pass: bool
@@ -1671,7 +1750,7 @@ class NDDPipeline:
         if n_new != sum(int(r["urls"]) for r in agg):
             refuse("batch contains duplicate urls")
         if n_new == 0:
-            return cat.read("clusters")
+            return self.clusters_view()
 
         # ---- stage 0: append rows, advance lineage by the batch delta ----
         t0 = time.monotonic()
@@ -1766,7 +1845,7 @@ class NDDPipeline:
             # ceiling): full CC over the catalog's committed edge tables —
             # no input snapshot needed, correctness identical
             self.stage3_clusters(resume=True)
-        return cat.read("clusters")
+        return self.clusters_view()
 
     def delete_pages(
         self,
@@ -1825,7 +1904,7 @@ class NDDPipeline:
         }
         n_del = sum(per_bucket_urls.values())
         if n_del == 0:
-            return cat.read("clusters")
+            return self.clusters_view()
         if n_del > cfg.max_retract:
             refuse(
                 f"retraction of {n_del} urls exceeds max_retract="
@@ -1942,7 +2021,7 @@ class NDDPipeline:
             # wide-dissolve fallback (over the broadcast ceiling): full
             # CC over the committed edge tables, correctness identical
             self.stage3_clusters(resume=True)
-        return cat.read("clusters")
+        return self.clusters_view()
 
     def update_pages(
         self, changed_rows: DataFrame, substring_pass: bool = True
@@ -2010,7 +2089,7 @@ class NDDPipeline:
         }
         n_upd = sum(r for r, _ in add_stats.values())
         if n_upd == 0:
-            return cat.read("clusters")
+            return self.clusters_view()
         if n_upd != sum(int(r["urls"]) for r in agg):
             refuse("batch contains duplicate urls")
         if n_upd > cfg.max_retract:
@@ -2152,7 +2231,7 @@ class NDDPipeline:
             # wide-merge/dissolve fallback (over the broadcast ceiling):
             # full CC over the committed edge tables, correctness identical
             self.stage3_clusters(resume=True)
-        return cat.read("clusters")
+        return self.clusters_view()
 
 
 class AppendRefusedError(RuntimeError):
@@ -2160,6 +2239,35 @@ class AppendRefusedError(RuntimeError):
     catalog state, param drift, duplicate urls in the batch). Nothing was
     mutated unless the message says otherwise; recover with
     ``run_incremental(full_snapshot)`` or a full ``run()``."""
+
+
+def patched_clusters(catalog: StageCatalog) -> DataFrame:
+    """The committed clusters VIEW: physical rows plus the merge-on-read
+    label patch.
+
+    Stage-3 append commits never rewrite the corpus-sized clusters table —
+    appended rows land as new files and label MERGES land as
+    ``cluster_remap`` rows (old_label → new_label), applied here by one
+    broadcast join (the patch is bounded by ``cfg.max_remap``, the same
+    broadcast ceiling the delta already enforces). This is the Iceberg
+    merge-on-read pattern: any rewriting commit (full build, retraction
+    dissolve, over-ceiling fold) folds the patch into the physical rows and
+    wipes it, so the patch never grows past one append era. The patch is
+    transitively closed by construction (composition at every commit), so
+    one join pass fully resolves labels; ``is_representative`` is
+    recomputed against the patched label."""
+    df = catalog.read("clusters")
+    if not catalog.exists("cluster_remap"):
+        return df
+    rm = catalog.read("cluster_remap")
+    return (
+        df.join(F.broadcast(rm), df["cluster_id"] == rm["old_label"], "left")
+        .select(
+            df["url"],
+            F.coalesce(rm["new_label"], df["cluster_id"]).alias("cluster_id"),
+        )
+        .withColumn("is_representative", F.col("url") == F.col("cluster_id"))
+    )
 
 
 # ---------- flagship read path (reference SURVEY §3.1) ----------
@@ -2242,7 +2350,7 @@ def query_top_k(
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .select("url", "jaccard")
     )
-    clusters = catalog.read("clusters").select("url", "cluster_id")
+    clusters = patched_clusters(catalog).select("url", "cluster_id")
     from pyspark.sql import Window as W
 
     # candidates missing from a stale/mid-rebuild clusters table must each
@@ -2330,7 +2438,7 @@ def query_top_k_batch(
         .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .select("query_id", "url", "jaccard")
     )
-    clusters = catalog.read("clusters").select("url", "cluster_id")
+    clusters = patched_clusters(catalog).select("url", "cluster_id")
     # same unclustered-candidate rule as query_top_k: NULL cluster_id rows
     # each keep their own group rather than sharing one NULL partition
     w_cluster = W.partitionBy(

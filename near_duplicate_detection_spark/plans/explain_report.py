@@ -215,7 +215,7 @@ def main() -> None:
         sigs.select("url", "simhash"), "audit_sigs", "url", n_buckets=8
     )
     write_bucketed(
-        pipe.catalog.read("clusters").select("url", "cluster_id"),
+        pipe.clusters_view().select("url", "cluster_id"),
         "audit_clusters", "url", n_buckets=8,
     )
     p = _plan_str(colocated_join(spark, "audit_sigs", "audit_clusters", "url"))

@@ -299,3 +299,90 @@ def test_pure_append_commits_clusters_append_only(
     ).any()
     assert not pipe.catalog.exists("edges_new")
     assert not pipe.catalog.exists("urls_new")
+
+
+def test_append_with_merge_uses_label_patch(
+    spark, tmp_path_factory, base_catalog
+):
+    """An append whose batch MERGES into existing clusters (new url sorts
+    below the old label) must still never rewrite the committed clusters
+    files: the merge lands as a cluster_remap patch row applied by the
+    read view, the returned labels equal a from-scratch rebuild's, and the
+    next retraction folds the patch into its rewrite and wipes it."""
+    import os
+
+    from near_duplicate_detection_spark.sources.pages import doc_tokens
+
+    pipe = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_ap_patch")
+    )
+    cdir = pipe.catalog.path("clusters")
+    files_before = {f for f in os.listdir(cdir) if f.endswith(".parquet")}
+    dup_url = "https://aaa.example/p/dup"  # sorts before every corpus url
+    novel_url = "https://novelpatch.example/p/x"
+    batch = spark.createDataFrame(
+        [
+            (dup_url, " ".join(doc_tokens(5)[0])),  # exact dup of doc 5
+            (
+                novel_url,
+                " ".join(f"patchnovel{j:03d}" for j in range(80)),
+            ),
+        ],
+        "url string, text string",
+    )
+    after = pipe.append_pages(batch).toPandas()
+    files_after = {f for f in os.listdir(cdir) if f.endswith(".parquet")}
+    assert files_before <= files_after, "old clusters files were rewritten"
+    assert pipe.catalog.exists("cluster_remap")
+    # the dup joined doc 5's cluster and relabeled it to the new min url
+    grp = after[after.url == dup_url].cluster_id.iloc[0]
+    assert grp == dup_url
+    members = set(after[after.cluster_id == grp].url)
+    assert url_of(5) in members
+    assert after[after.url == url_of(5)].is_representative.iloc[0] == False  # noqa: E712
+    # labels equal a from-scratch rebuild of the same corpus
+    full = (
+        NDDPipeline(
+            spark, CFG, str(tmp_path_factory.mktemp("ndd_ap_patch_full"))
+        )
+        .run(
+            generate_pages(spark, N1)
+            .select("url", "text")
+            .unionByName(batch)
+        )
+        .toPandas()
+    )
+    assert _partition(after) == _partition(full)
+    # a retraction folds the patch into its rewrite and wipes the sidecar
+    folded = pipe.delete_pages([novel_url]).toPandas()
+    assert not pipe.catalog.exists("cluster_remap")
+    assert set(folded[folded.cluster_id == grp].url) == members
+
+
+def test_append_then_delete_same_doc_restores_base(
+    spark, tmp_path_factory, base_catalog
+):
+    """Appending a doc then deleting it cycles every content-derived run
+    hash back to the BASE build's committed value while the retraction log
+    is still pending — the stage-3 'already current' resume row must not
+    shadow the retraction (the stale-but-plausible clusters table would
+    keep the deleted url and the un-folded label patch)."""
+    from near_duplicate_detection_spark.sources.pages import doc_tokens
+
+    pipe = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_ap_cycle")
+    )
+    base = pipe.clusters_view().toPandas()
+    dup_url = "https://aaa.example/p/cycle-dup"  # exact dup of doc 5,
+    # url sorts first -> the append also lands a cluster_remap patch row
+    batch = spark.createDataFrame(
+        [(dup_url, " ".join(doc_tokens(5)[0]))], "url string, text string"
+    )
+    pipe.append_pages(batch)
+    assert pipe.catalog.exists("cluster_remap")
+    after = pipe.delete_pages([dup_url]).toPandas()
+    assert len(after) == N1
+    assert dup_url not in set(after.url)
+    assert _partition(after) == _partition(base)
+    assert not pipe.catalog.exists("cluster_remap")
+    assert not pipe.catalog.exists("urls_retracted")
