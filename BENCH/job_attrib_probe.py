@@ -58,7 +58,10 @@ def trace_actions(log, spark):
     attribute jobs+wall to the engine call site (file:line)."""
     import traceback
 
-    from pyspark.sql import DataFrame
+    try:  # PySpark 4: the instantiated class overrides the abc's methods
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
 
     originals = {}
     for name in ("localCheckpoint", "count", "collect"):
@@ -91,7 +94,10 @@ def trace_actions(log, spark):
 
 
 def untrace_actions(originals):
-    from pyspark.sql import DataFrame
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
 
     for name, fn in originals.items():
         setattr(DataFrame, name, fn)

@@ -186,9 +186,9 @@ spark.stop()
 
     os.makedirs("BENCH", exist_ok=True)
     stages = ["signatures", "lsh+verify", "substring", "clusters"]
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open("BENCH/scaling_last.md", "w") as f:
         f.write(
-            "# BENCH/BASELINE — dedup throughput + scaling efficiency\n\n"
+            "# BENCH/scaling_last — generated scaling run (hand-merge into BASELINE.md)\n\n"
             "Protocol (BASELINE.md): identical three-stage dedup job, identical\n"
             f"pre-ingested input ({n_docs} synthetic pages with planted duplicate\n"
             "structure), fresh JVM per leg; each leg runs the FULL job once\n"

@@ -21,6 +21,7 @@ dynamic partition overwrite for idempotent partition replacement.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 
@@ -69,6 +70,31 @@ class StageCatalog:
         if max_records_per_file:
             w = w.option("maxRecordsPerFile", max_records_per_file)
         w.parquet(self.path(table))
+
+    def write_small_local(
+        self, table: str, rows: list[tuple], columns: list[str]
+    ) -> None:
+        """Driver-side parquet write for TINY control tables (the stage-3
+        label patch): zero Spark jobs. A python-sourced Spark write
+        (``spark.createDataFrame(list).write``) parallelizes the local data
+        into defaultParallelism python partitions and a 1-task write then
+        evaluates each through a Python worker launch — measured ~4 s for a
+        2-row table at local[32]; pyarrow writes the same file in
+        milliseconds. String columns only (the patch maps labels to
+        labels). Staged to a temp dir + atomic rename."""
+        tbl = pa.table(
+            {
+                c: pa.array([r[i] for r in rows], type=pa.string())
+                for i, c in enumerate(columns)
+            }
+        )
+        dst = self.path(table)
+        tmp = dst + ".inprogress"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        pq.write_table(tbl, os.path.join(tmp, "part-00000.parquet"))
+        shutil.rmtree(dst, ignore_errors=True)
+        os.rename(tmp, dst)
 
     # ---- lineage ----
 

@@ -254,7 +254,9 @@ def cluster_label_delta(
     every contraction node; n_remap — the remap's exact row count when the
     driver solved the graph (the frames are then LOCAL relations: no
     checkpoint or Spark count needed to size-guard or broadcast them), None
-    when the distributed CC ran and the caller must count)."""
+    when the distributed CC ran and the caller must count; changed_map —
+    the remap as a driver dict when the driver solved (saves the caller a
+    python-relation collect), None otherwise)."""
     from near_duplicate_detection_spark.operators.connected_components import (
         connected_components,
     )
@@ -297,17 +299,26 @@ def cluster_label_delta(
             [(r["url_a"], r["url_b"]) for r in contracted.collect()]
         )
         spark = old_clusters.sparkSession
-        node_labels = spark.createDataFrame(
-            list(lab_map.items()), schema="url string, label string"
-        )
+        # ONE python slice: python-sourced local relations parallelize into
+        # defaultParallelism partitions by default, and every downstream
+        # evaluation (broadcast build, 1-task write) then pays a Python
+        # worker launch per partition — seconds of fixed cost for a
+        # handful of rows
+        def _local(rows):
+            return spark.createDataFrame(
+                spark.sparkContext.parallelize(rows, 1)
+                if rows
+                else spark.sparkContext.emptyRDD(),
+                schema="url string, label string",
+            )
+
         changed = [(u, l) for u, l in lab_map.items() if u != l]
-        remap = spark.createDataFrame(
-            changed, schema="url string, label string"
-        )
-        return remap, node_labels, len(changed)
+        node_labels = _local(list(lab_map.items()))
+        remap = _local(changed)
+        return remap, node_labels, len(changed), dict(changed)
     node_labels = connected_components(contracted)
     remap = node_labels.where(F.col("url") != F.col("label"))
-    return remap, node_labels, None
+    return remap, node_labels, None, None
 
 
 def retraction_mapping(

@@ -1247,7 +1247,7 @@ class NDDPipeline:
             combined = combined.dropDuplicates(["url_a", "url_b"])
             # frontier members are NOT in base_old, so the contraction keeps
             # them as raw nodes and re-derives their labels from scratch
-            remap, node_labels, n_remap = cluster_label_delta(
+            remap, node_labels, n_remap, changed_map = cluster_label_delta(
                 base_old, combined, driver_cc_max=self.cfg.driver_cc_max
             )
             driver_solved = n_remap is not None
@@ -1264,6 +1264,7 @@ class NDDPipeline:
         else:
             remap = node_labels = None
             n_remap = 0
+            changed_map = {}
             driver_solved = True  # vacuously: no edges, no remaps
         new_rows = (
             cat.read("urls_new").select("url").distinct()
@@ -1300,12 +1301,7 @@ class NDDPipeline:
             # protocol: marker up across append + patch write + log wipe —
             # a crash leaves the marker, every delta entry refuses, and the
             # idempotent full rebuild heals.
-            changed = (
-                {r["url"]: r["label"] for r in remap.collect()}
-                if n_remap
-                else {}
-            )
-            new_patch = self._compose_label_patch(changed)
+            new_patch = self._compose_label_patch(changed_map or {})
             if len(new_patch) <= max_remap:
                 appended = new_rows.withColumn(
                     "is_representative", F.col("url") == F.col("cluster_id")
@@ -1313,13 +1309,13 @@ class NDDPipeline:
                 self._set_marker("delta.inflight")
                 cat.write(appended, "clusters", mode="append")
                 if new_patch:
-                    cat.write(
-                        self.spark.createDataFrame(
-                            sorted(new_patch.items()),
-                            "old_label string, new_label string",
-                        ).coalesce(1),
+                    # driver-side pyarrow write: zero Spark jobs (a python-
+                    # sourced Spark write pays a worker launch per default
+                    # partition — measured ~4 s for a 2-row table)
+                    cat.write_small_local(
                         "cluster_remap",
-                        mode="overwrite",
+                        sorted(new_patch.items()),
+                        ["old_label", "new_label"],
                     )
                 else:
                     _shutil.rmtree(
