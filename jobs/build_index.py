@@ -5,7 +5,7 @@ Usage:
     spark-submit --py-files ndd.zip jobs/build_index.py \
         --pages /path/to/pages_parquet --catalog /path/to/catalog \
         [--n-synthetic 100000] [--no-resume] [--no-substring] \
-        [--incremental | --append | --update | --delete-urls PATH] \
+        [--incremental | --append | --update | --delete-urls PATH | --compact] \
         [--shingle-k 5] [--num-perms 128] [--bands 32] [--rows 4] \
         [--jaccard 0.6] [--buckets 64]
 
@@ -51,6 +51,12 @@ def main(argv: list[str] | None = None) -> int:
              "newline-delimited url list file (delete_pages — anti-join "
              "bucket rewrites, zero re-signing); no input snapshot needed",
     )
+    ap.add_argument(
+        "--compact", action="store_true",
+        help="table maintenance: fold the merge-on-read label patch and "
+             "rewrite fragmented buckets (compact() — pure physical "
+             "reorganization); no input snapshot needed",
+    )
     ap.add_argument("--no-substring", action="store_true")
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--num-perms", type=int, default=128)
@@ -66,14 +72,15 @@ def main(argv: list[str] | None = None) -> int:
             ("--append", args.append),
             ("--update", args.update),
             ("--delete-urls", bool(args.delete_urls)),
+            ("--compact", args.compact),
         )
         if on
     ]
     if len(modes) > 1:
         ap.error(f"pick one of {modes}")
-    if args.delete_urls:
+    if args.delete_urls or args.compact:
         if args.pages or args.n_synthetic:
-            ap.error("--delete-urls takes no input snapshot")
+            ap.error(f"{modes[0]} takes no input snapshot")
     elif not (args.pages or args.n_synthetic is not None):
         ap.error("one of --pages / --n-synthetic is required")
     if modes and args.no_resume:
@@ -99,6 +106,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     pipe = NDDPipeline(spark, cfg, args.catalog)
     sub = not args.no_substring
+    if args.compact:
+        clusters = None
+        print(json.dumps({"compacted": {
+            t: list(v) for t, v in pipe.compact().items()
+        }}))
+        return 0
     if args.delete_urls:
         import os
 

@@ -47,6 +47,12 @@ class NDDConfig:
     max_retract: int = 100_000       # retraction size ceiling (broadcast map)
     max_remap: int = 2_000_000       # stage-3 dissolve/remap broadcast ceiling
     driver_cc_max: int = 200_000     # contraction edges solved driver-side
+    # consecutive append-only (merge-on-read) clusters commits before the
+    # next append folds the patch and rewrites the table (Iceberg
+    # compaction analog). Era COUNT, not file count: each MOR commit adds
+    # exactly one file, while a rewrite's file count scales with cluster
+    # parallelism — counting eras keeps the trigger scale-independent.
+    clusters_append_ceiling: int = 64
     # --- layout ---
     # url-hash partitions for lineage granularity. ≥2× the largest local core
     # count (and thousands on a real cluster): stage-0/1 partitioned writes

@@ -62,6 +62,37 @@ class StageCatalog:
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(self.path(table))
 
+    def file_count(self, table: str) -> int:
+        """Number of physical parquet files (directory listing, no Spark
+        job, no footer reads). Used by compaction triggers; per-bucket
+        fragmentation uses ``fragmented_partitions``."""
+        p = self.path(table)
+        if not os.path.isdir(p):
+            return 0
+        return sum(
+            1
+            for _root, _dirs, files in os.walk(p)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    def fragmented_partitions(self, table: str) -> list[int]:
+        """Partition values (``bucket=N`` subdirs) holding more than one
+        parquet file — the per-bucket compaction work list. Directory
+        listing only."""
+        p = self.path(table)
+        out = []
+        if not os.path.isdir(p):
+            return out
+        for d in os.listdir(p):
+            if not d.startswith("bucket="):
+                continue
+            sub = os.path.join(p, d)
+            n = sum(1 for f in os.listdir(sub) if f.endswith(".parquet"))
+            if n > 1:
+                out.append(int(d.split("=", 1)[1]))
+        return sorted(out)
+
     def write(self, df: DataFrame, table: str, partition_by: list[str] | None = None,
               mode: str = "overwrite", max_records_per_file: int = 0) -> None:
         w = df.write.mode(mode)

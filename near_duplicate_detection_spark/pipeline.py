@@ -770,6 +770,30 @@ class NDDPipeline:
             "delta.inflight"
         )
 
+    # ---- clusters append-era counter (compaction trigger) ----
+    # Each merge-on-read commit appends exactly one clusters file; a
+    # rewriting commit re-bases the table at the job's write parallelism.
+    # Counting ERAS (appends since the last rewrite) therefore measures
+    # fragmentation independently of cluster size, where a raw file count
+    # would mis-trigger at high parallelism. The counter is an advisory
+    # execution artifact — any value (including a missing file) is safe; it
+    # only decides WHEN the next append folds, never what it commits.
+
+    def _append_era(self) -> int:
+        try:
+            with open(self._marker_path("delta.appends")) as f:
+                return int(f.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _bump_append_era(self) -> None:
+        era = self._append_era() + 1  # read BEFORE open("w") truncates
+        with open(self._marker_path("delta.appends"), "w") as f:
+            f.write(f"{era}\n")
+
+    def _reset_append_era(self) -> None:
+        self._clear_marker("delta.appends")
+
     def _stage2_retract(
         self, retracted: DataFrame, max_retract: int | None = None
     ) -> bool:
@@ -1119,6 +1143,7 @@ class NDDPipeline:
         # re-emerging label in the rebuilt table)
         _shutil.rmtree(cat.path("cluster_remap"), ignore_errors=True)
         cat.write(clusters, "clusters")
+        self._reset_append_era()  # full rewrite re-bases fragmentation
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("clusters")
         cat.mark_complete("clusters", h, {-1: n}, wall_ms)
@@ -1302,7 +1327,13 @@ class NDDPipeline:
             # a crash leaves the marker, every delta entry refuses, and the
             # idempotent full rebuild heals.
             new_patch = self._compose_label_patch(changed_map or {})
-            if len(new_patch) <= max_remap:
+            # era ceiling: after cfg.clusters_append_ceiling consecutive
+            # MOR commits, fold instead (the rewrite below) — bounds both
+            # small-file growth (one file per MOR commit) and patch age
+            if (
+                len(new_patch) <= max_remap
+                and self._append_era() < self.cfg.clusters_append_ceiling
+            ):
                 appended = new_rows.withColumn(
                     "is_representative", F.col("url") == F.col("cluster_id")
                 ).coalesce(1)
@@ -1326,6 +1357,7 @@ class NDDPipeline:
                     _shutil.rmtree(cat.path(t), ignore_errors=True)
                 wall_ms = int((time.monotonic() - t0) * 1000)
                 cat.mark_complete("clusters", h, {-1: n}, wall_ms)
+                self._bump_append_era()
                 self._clear_marker("delta.inflight")
                 cat.add_metrics(
                     "clusters",
@@ -1384,6 +1416,7 @@ class NDDPipeline:
         _shutil.rmtree(cat.path("cluster_remap"), ignore_errors=True)
         _shutil.rmtree(cat.path("clusters"), ignore_errors=True)
         os.rename(cat.path("clusters_next"), cat.path("clusters"))
+        self._reset_append_era()  # rewriting commit re-bases fragmentation
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("clusters")
         cat.mark_complete("clusters", h, {-1: n}, wall_ms)
@@ -2228,6 +2261,95 @@ class NDDPipeline:
             # full CC over the committed edge tables, correctness identical
             self.stage3_clusters(resume=True)
         return self.clusters_view()
+
+    def compact(self) -> dict:
+        """Table maintenance: fold the merge-on-read label patch and rewrite
+        fragmented storage — the Iceberg ``rewrite_data_files`` + patch-fold
+        analog. Pure physical reorganization: every read view is
+        row-identical before and after, and NO lineage row advances (the
+        committed content, hence every run hash and per-bucket checksum, is
+        untouched — resume stays a no-op).
+
+        Two targets:
+        - ``clusters``: when a ``cluster_remap`` sidecar exists or any
+          append eras accumulated (each merge-on-read commit adds exactly
+          one file), rewrite from ``clusters_view`` — folding the patch —
+          via the staged ``clusters_next`` → atomic-rename swap, wipe the
+          sidecar, reset the era counter. Readers then skip the patch join
+          entirely.
+        - ``pages`` / ``signatures``: buckets holding more than one parquet
+          file (every delta append/upsert adds one file per touched bucket)
+          are rewritten in place by dynamic partition overwrite — ONE
+          shuffle over only the fragmented buckets' rows (partition-pruned
+          scan), bucket-pure partitions so each bucket lands as one file.
+
+        The append path folds on its own once
+        ``cfg.clusters_append_ceiling`` eras accumulate; this entry point
+        is for operators who want to schedule the rewrite cost off the
+        ingest path (the reference has no analog — its index is a single
+        pickle rewritten wholesale, ndd/server_ndd.py:246-261).
+
+        Refuses (``AppendRefusedError``, nothing mutated) while a crash
+        marker is up or a stage-3 log is pending — maintenance must not
+        interleave with a mid-flight delta. Crash protocol: the
+        ``delta.inflight`` marker brackets every destructive window (swap
+        and bucket overwrites); a crash leaves the marker, all delta entry
+        points refuse, and ``run_incremental(full_snapshot)`` heals via the
+        per-bucket checksum algebra, exactly as for a crashed retraction.
+        Returns ``{table: (files_before, files_after), ...}``."""
+        import os as _os
+        import shutil as _shutil
+
+        cat, refuse = self.catalog, self._refuse
+        if self._delta_suspect():
+            refuse("crash marker up (a prior retraction/delta was killed)")
+        if any(cat.exists(t) for t in self._STAGE3_LOG_TABLES):
+            refuse("stage-3 log pending (mid-flight delta)")
+        t0 = time.monotonic()
+        out: dict = {}
+        if cat.exists("clusters") and (
+            cat.exists("cluster_remap") or self._append_era() > 0
+        ):
+            before = cat.file_count("clusters")
+            _shutil.rmtree(cat.path("clusters_next"), ignore_errors=True)
+            cat.write(self.clusters_view(), "clusters_next")  # patch folded
+            self._set_marker("delta.inflight")
+            _shutil.rmtree(cat.path("cluster_remap"), ignore_errors=True)
+            _shutil.rmtree(cat.path("clusters"), ignore_errors=True)
+            _os.rename(cat.path("clusters_next"), cat.path("clusters"))
+            self._reset_append_era()
+            self._clear_marker("delta.inflight")
+            out["clusters"] = (before, cat.file_count("clusters"))
+        for table in ("pages", "signatures"):
+            if not cat.exists(table):
+                continue
+            frag = cat.fragmented_partitions(table)
+            if not frag:
+                continue
+            before = cat.file_count(table)
+            # localCheckpoint: materialize the fragmented rows BEFORE the
+            # overwrite — the write would otherwise read the very files it
+            # replaces. Bounded by the fragmented buckets' size, not the
+            # corpus (partition-pruned scan).
+            df = (
+                cat.read(table)
+                .where(F.col("bucket").isin(frag))
+                .repartition("bucket")  # bucket-pure → one file per bucket
+                .localCheckpoint()
+            )
+            self._set_marker("delta.inflight")
+            cat.write(df, table, partition_by=["bucket"])
+            self._clear_marker("delta.inflight")
+            out[table] = (before, cat.file_count(table))
+        if out:
+            flat = {
+                f"{t}_files_{w}": v[i]
+                for t, v in out.items()
+                for i, w in ((0, "before"), (1, "after"))
+            }
+            flat["wall_ms"] = int((time.monotonic() - t0) * 1000)
+            cat.add_metrics("compaction", flat)
+        return out
 
 
 class AppendRefusedError(RuntimeError):
