@@ -230,7 +230,7 @@ spark.stop()
             f"end-to-end efficiency tracks the kernel number above because every\n"
             f"stage is embarrassingly parallel except three small-data shuffles.\n"
         )
-    print("wrote BENCH/BASELINE.md")
+    print("wrote BENCH/scaling_last.md")
 
 
 if __name__ == "__main__":
