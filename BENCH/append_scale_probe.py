@@ -2,7 +2,10 @@
 next-round #7): extend the per-appended-doc cost curve one more decade by
 measuring a 10% append onto a 4M-doc corpus (40k → 400k → 4M bases).
 
-Usage: python BENCH/append_scale_probe.py [n_docs] [passes]
+Usage: python BENCH/append_scale_probe.py [n_docs] [passes] [legs]
+``legs`` is a comma-separated subset of bench.py's incremental keys
+(default: the two append legs); pass ``all`` for every leg — the
+retraction legs' weak-scaling points use this.
 Prints one JSON line mirroring bench.py's incremental keys.
 
 Protocol notes (BENCH/BASELINE.md): min-of-passes against fresh hardlink
@@ -25,6 +28,15 @@ from bench import _measure_incremental, _run_pipeline  # noqa: E402
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     passes = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    legs = (
+        ("incremental_append_sec", "append_pages_sec")
+        if len(sys.argv) < 4
+        else (
+            None  # every leg, including the inferred/explicit retractions
+            if sys.argv[3] == "all"
+            else tuple(sys.argv[3].split(","))
+        )
+    )
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     from near_duplicate_detection_spark.config import NDDConfig
@@ -50,8 +62,6 @@ def main() -> int:
         "full_build_docs_per_sec": round(n_docs / build_sec, 1),
         "stages": timings,
     }
-    # append legs only: the inferred edit/delete legs each cost a
-    # near-full-rebuild at this scale and have their own sf0.1 bench rows
     out.update(
         _measure_incremental(
             spark,
@@ -59,7 +69,7 @@ def main() -> int:
             kept,
             n_docs,
             passes=passes,
-            only=("incremental_append_sec", "append_pages_sec"),
+            only=legs,
         )
     )
     print(json.dumps(out))
