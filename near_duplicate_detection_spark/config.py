@@ -53,6 +53,12 @@ class NDDConfig:
     # exactly one file, while a rewrite's file count scales with cluster
     # parallelism — counting eras keeps the trigger scale-independent.
     clusters_append_ceiling: int = 64
+    # accumulated retract_patch rows before a retraction folds the patch
+    # into the stage-2/2b tables (copy-on-write rewrite) instead of
+    # extending it — bounds both the broadcast the readers pay and the
+    # driver-side composition. Same Iceberg MOR-maintenance shape as
+    # clusters_append_ceiling; execution strategy, excluded from hashes.
+    retract_patch_ceiling: int = 1_000_000
     # --- layout ---
     # url-hash partitions for lineage granularity. ≥2× the largest local core
     # count (and thousands on a real cluster): stage-0/1 partitioned writes

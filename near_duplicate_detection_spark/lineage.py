@@ -103,19 +103,25 @@ class StageCatalog:
         w.parquet(self.path(table))
 
     def write_small_local(
-        self, table: str, rows: list[tuple], columns: list[str]
+        self,
+        table: str,
+        rows: list[tuple],
+        columns: list[str],
+        types: list | None = None,
     ) -> None:
         """Driver-side parquet write for TINY control tables (the stage-3
-        label patch): zero Spark jobs. A python-sourced Spark write
-        (``spark.createDataFrame(list).write``) parallelizes the local data
-        into defaultParallelism python partitions and a 1-task write then
-        evaluates each through a Python worker launch — measured ~4 s for a
-        2-row table at local[32]; pyarrow writes the same file in
-        milliseconds. String columns only (the patch maps labels to
-        labels). Staged to a temp dir + atomic rename."""
+        label patch, the retraction patch): zero Spark jobs. A
+        python-sourced Spark write (``spark.createDataFrame(list).write``)
+        parallelizes the local data into defaultParallelism python
+        partitions and a 1-task write then evaluates each through a Python
+        worker launch — measured ~4 s for a 2-row table at local[32];
+        pyarrow writes the same file in milliseconds. Columns default to
+        string; pass ``types`` (pyarrow DataTypes, one per column) for
+        anything else. Staged to a temp dir + atomic rename."""
+        types = types or [pa.string()] * len(columns)
         tbl = pa.table(
             {
-                c: pa.array([r[i] for r in rows], type=pa.string())
+                c: pa.array([r[i] for r in rows], type=types[i])
                 for i, c in enumerate(columns)
             }
         )
@@ -126,6 +132,15 @@ class StageCatalog:
         pq.write_table(tbl, os.path.join(tmp, "part-00000.parquet"))
         shutil.rmtree(dst, ignore_errors=True)
         os.rename(tmp, dst)
+
+    def read_small_rows(self, table: str, columns: list[str]) -> list[tuple]:
+        """Driver-side read of a TINY control table (the retraction patch):
+        the inverse of ``write_small_local``, zero Spark jobs. Only ever
+        called on sidecars bounded by an explicit ceiling."""
+        tbl = pads.dataset(self.path(table), format="parquet").to_table(
+            columns=columns
+        )
+        return list(zip(*(tbl.column(c).to_pylist() for c in columns)))
 
     # ---- lineage ----
 

@@ -28,7 +28,7 @@ equality in the no-crossing case).
 
 Edits and deletions violate the append-only premise; the pipeline detects
 both against the stage-2 `seen` snapshot and first attempts a TARGETED
-RETRACTION (retraction_mapping / relabel_*: drop or rep-substitute the
+RETRACTION (relabel_*: drop or rep-substitute the
 drifted urls' rows across every stage table, then treat edited content as
 a fresh append), falling back to the full rebuild only when the retraction
 is too large or prior retraction state is inconsistent (crash marker).
@@ -319,36 +319,6 @@ def cluster_label_delta(
     node_labels = connected_components(contracted)
     remap = node_labels.where(F.col("url") != F.col("label"))
     return remap, node_labels, None, None
-
-
-def retraction_mapping(
-    seen_after: DataFrame, reps: DataFrame, retracted: DataFrame
-) -> DataFrame:
-    """(url, new_url) for every retracted url — the relabel/drop plan.
-
-    An exact-dup group's members all share the SAME content fingerprint, so
-    when a retracted url was the group's representative, any surviving
-    member has byte-identical content and can inherit the rep's rows
-    verbatim (verified scores carry over exactly): new_url = min surviving
-    member (the same pick a full-rebuild ``exact_groups`` would make).
-    new_url is NULL when nothing survives (singleton / whole group gone) or
-    the url was a non-rep star member — its rows are simply dropped.
-    Reference semantics: ``update_index`` drops a vanished video's index
-    entries without rebuilding the index (ndd/server_ndd.py:246-261).
-
-    seen_after: the (url, fp) coverage snapshot AFTER removing the
-    retracted urls. All inputs here are retraction-sized or rep-sized;
-    every join is broadcastable by the caller's size guard."""
-    broken = reps.join(retracted, "url", "left_semi")  # (url=old rep, fp)
-    replacement = (
-        seen_after.join(broken.select("fp"), "fp", "left_semi")
-        .groupBy("fp")
-        .agg(F.min("url").alias("new_url"))
-    )
-    rep_new = broken.join(replacement, "fp", "left").select("url", "new_url")
-    return retracted.select("url").join(rep_new, "url", "left").select(
-        "url", "new_url"
-    )
 
 
 def relabel_url_table(

@@ -527,26 +527,43 @@ class NDDPipeline:
             # in a way the (signature-content-based) 2b run hash cannot
             # see — wipe it so 2b is forced to rebuild, not early-return
             wipe.append("substring_pairs")
+        wipe_patch = self._retract_inflight() or not cat.exists(
+            "substring_pairs"
+        )
         for t in wipe:
             _shutil.rmtree(cat.path(t), ignore_errors=True)
-        cat.write(verified.unionByName(exact_edges), "pairs")
+        cat.write(self._stamp_era(verified.unionByName(exact_edges)), "pairs")
         # reps doubles as the delta path's INDEX: fp is the exact-group
         # rep_map, bands/simhash let an append's LSH probe scan this table
         # map-side instead of re-deriving the rep set by semi-joining the
         # full signatures table against reps every delta run (an O(corpus)
         # shuffle per append in round 3). Signatures are pure functions of
         # text, so retraction rep-substitution keeps these columns exact.
-        cat.write(reps.select("url", "fp", "bands", "simhash"), "reps")
+        cat.write(
+            self._stamp_era(reps.select("url", "fp", "bands", "simhash")),
+            "reps",
+        )
         # `seen` = the (url, fp) snapshot this stage processed, stamped with
         # the stage-2 PARAM hash so the delta path can reject state built
         # under different parameters. At Iceberg scale this is a snapshot
         # id + table property, not a table.
         cat.write(
-            sigs.select("url", "fp").withColumn(
-                "cfg_hash", F.lit(cfg.stage2_hash())
+            self._stamp_era(
+                sigs.select("url", "fp").withColumn(
+                    "cfg_hash", F.lit(cfg.stage2_hash())
+                )
             ),
             "seen",
         )
+        if wipe_patch:
+            # the merge-on-read retraction patch dies with the last table
+            # it could govern: seen/reps/pairs were just rebuilt (fresh era
+            # stamps exempt them regardless), window_index/seen_2b wiped
+            # above — only a SURVIVING substring_pairs still needs it.
+            # AFTER the writes (not in the wipe list above): a crash
+            # between wipe and rebuild would have left stale governed
+            # tables with their patch gone.
+            _shutil.rmtree(cat.path("retract_patch"), ignore_errors=True)
         wall_ms = int((time.monotonic() - t0) * 1000)
         n_pairs = cat.count_rows("pairs")
         cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
@@ -592,8 +609,9 @@ class NDDPipeline:
         if self._delta_suspect():
             return False  # crashed retraction/delta append → tables suspect
         h = self.stage2_run_hash()
-        if cat.completed_partitions("pairs", h):
-            return True  # already current
+        if cat.completed_partitions("pairs", h) and cat.exists("pairs"):
+            return True  # already current (exists: never trust a lineage
+            # row whose table was wiped — see the stage-2b mirror below)
         if not (cat.exists("seen") and cat.exists("reps") and cat.exists("pairs")):
             return False  # no prior full run to delta against
         t0 = time.monotonic()
@@ -609,7 +627,7 @@ class NDDPipeline:
         # scans per run for the same crash window.)
         if cat.distinct_values("seen", "cfg_hash") != {cfg.stage2_hash()}:
             return False
-        seen = cat.read("seen").select("url", "fp")
+        seen = self.stage_view("seen").select("url", "fp")
         # ONE corpus-scan job classifies all drift (append/edit/delete);
         # the checkpointed frame is drift-sized and feeds both splits
         drift = classify_drift(sigs, seen).localCheckpoint()
@@ -626,7 +644,7 @@ class NDDPipeline:
                 cat.exists("seen") and cat.exists("reps") and cat.exists("pairs")
             ):
                 return False  # retraction emptied a core table → full path
-            seen = cat.read("seen").select("url", "fp")
+            seen = self.stage_view("seen").select("url", "fp")
             new_sigs = drift_new(classify_drift(sigs, seen))
         new_sigs = new_sigs.localCheckpoint()
         n_new = new_sigs.count()
@@ -657,7 +675,7 @@ class NDDPipeline:
         )
 
         cfg, cat = self.cfg, self.catalog
-        reps_tbl = cat.read("reps")
+        reps_tbl = self.stage_view("reps")
         rep_map = reps_tbl.select("fp", F.col("url").alias("rep"))
         exact_edges, new_reps = delta_exact(new_sigs, rep_map)
         new_reps = new_reps.localCheckpoint()
@@ -690,15 +708,17 @@ class NDDPipeline:
             appended_pairs.select("url_a", "url_b"), "edges_new", mode="append"
         )
         cat.write(new_sigs.select("url"), "urls_new", mode="append")
-        cat.write(appended_pairs, "pairs", mode="append")
+        cat.write(self._stamp_era(appended_pairs), "pairs", mode="append")
         cat.write(
-            new_reps.select("url", "fp", "bands", "simhash"),
+            self._stamp_era(new_reps.select("url", "fp", "bands", "simhash")),
             "reps",
             mode="append",
         )
         cat.write(
-            new_sigs.select("url", "fp").withColumn(
-                "cfg_hash", F.lit(cfg.stage2_hash())
+            self._stamp_era(
+                new_sigs.select("url", "fp").withColumn(
+                    "cfg_hash", F.lit(cfg.stage2_hash())
+                )
             ),
             "seen",
             mode="append",
@@ -794,80 +814,233 @@ class NDDPipeline:
     def _reset_append_era(self) -> None:
         self._clear_marker("delta.appends")
 
+    # retraction-era counter for the stage-2/2b merge-on-read patch
+    # (operators/mor.py). MONOTONE and never reset: governed-table rows are
+    # stamped with the counter at write time, patch entries with the
+    # post-bump value, and an entry governs exactly the rows with
+    # row.era < entry.era — so stale rows surviving a partial rebuild
+    # (e.g. substring_pairs across a stage-2-only rewrite) stay correctly
+    # governed while freshly rebuilt rows are automatically exempt.
+    def _retract_era(self) -> int:
+        try:
+            with open(self._marker_path("retract.era")) as f:
+                return int(f.read().strip() or 0)
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def _bump_retract_era(self) -> int:
+        era = self._retract_era() + 1
+        with open(self._marker_path("retract.era"), "w") as f:
+            f.write(f"{era}\n")
+        return era
+
+    def _stamp_era(self, df: DataFrame) -> DataFrame:
+        """Stamp governed-table rows with the current retraction era (rows
+        written NOW postdate every stored patch entry, so no entry governs
+        them — see operators/mor.py)."""
+        return df.withColumn("era", F.lit(int(self._retract_era())))
+
+    def stage_view(self, table: str) -> DataFrame:
+        """A governed stage-2/2b table with the merge-on-read retraction
+        patch resolved (operators/mor.py) — broadcast join only, zero wide
+        shuffles over the table. Every consumer of seen/reps/pairs/
+        window_index/seen_2b/substring_pairs must read through this, never
+        ``catalog.read(...)`` raw (same contract as ``clusters_view``)."""
+        from near_duplicate_detection_spark.operators import mor
+
+        df = self.catalog.read(table)
+        patch = mor.patch_agg(self.catalog)
+        if patch is None:
+            return df
+        if table in mor.PAIR_TABLES:
+            return mor.apply_pair_patch(df, patch)
+        return mor.apply_url_patch(
+            df, patch, drop_only=table in mor.URL_DROP_TABLES
+        )
+
     def _stage2_retract(
         self, retracted: DataFrame, max_retract: int | None = None
     ) -> bool:
-        """Retract edited/deleted urls from every stage-2/2b table so the
-        append delta can take over (reference: ``update_index`` removes a
-        vanished video's entries without rebuilding the index,
-        ndd/server_ndd.py:246-261). Zero recompute: a retracted exact-group
-        representative's rows are INHERITED verbatim by the min surviving
-        member (identical content ⇒ identical signatures, windows, and
-        verified scores — operators/delta.py retraction_mapping); everything
-        else is dropped. Each rewrite is a broadcast-mapped scan of one
-        stage table — an Iceberg MERGE/DELETE at production scale; the
-        pending edges_new/urls_new logs are rewritten under the same mapping
-        so an uncommitted stage-3 delta stays consistent, and the mapping is
-        appended to ``urls_retracted`` for stage 3's dissolve step.
+        """Merge-on-read retraction: retract edited/deleted urls from every
+        stage-2/2b table by committing ONE driver-written patch sidecar
+        (operators/mor.py ``retract_patch`` — url → new_url|NULL stamped
+        with this retraction's era) instead of rewriting the six
+        corpus-sized tables. The round-3 copy-on-write shape was O(change)
+        compute but one FULL rewrite per stage table per retraction —
+        O(corpus) write volume for every delete at the 10^12-doc contract;
+        it survives below as the FOLD (taken when the accumulated patch
+        would cross ``cfg.retract_patch_ceiling``, and schedulable off the
+        ingest path via ``compact()``). Readers resolve the patch through
+        ``stage_view`` — one broadcast join, the position-delete analog of
+        Iceberg v2 MOR.
 
-        Crash protocol: a ``retract.inflight`` marker is set BEFORE the
-        first table rewrite and cleared after the last — the rewrites span
-        several tables without an atomic commit, so a crash mid-way leaves
-        the marker up and every delta entry point refuses until the full
-        ``stage2_pairs`` rebuild clears it.
+        Semantics (identical to the fold, pinned by tests): a retracted
+        exact-group representative's rows are INHERITED verbatim by the
+        min surviving member (identical content ⇒ identical signatures,
+        windows, and verified scores); everything else is dropped.
+        Reference: ``update_index`` removes a vanished video's entries
+        without rebuilding the index (ndd/server_ndd.py:246-261).
+
+        Cost shape of the MOR commit: the mapping needs the broken reps'
+        fp groups — ONE map-side broadcast-pruned pass over the reps view
+        and one over the seen view (read-only scans with tiny outputs; an
+        fp-zone-mapped Iceberg layout would prune them further) — plus
+        delta-sized rewrites of the pending edges_new/urls_new logs and
+        two driver-side sidecar writes. No corpus-sized write anywhere.
+
+        Crash protocol: ``retract.inflight`` is set BEFORE the first
+        mutation and cleared after the last (multi-table, no atomic
+        commit); a crash leaves the marker up and every delta entry point
+        refuses until the full ``stage2_pairs`` rebuild clears it.
 
         Returns False (nothing touched) when the retraction exceeds
         ``max_retract`` — the broadcast-mapping ceiling."""
+        import shutil as _shutil
+
+        import pandas as pd
+        import pyarrow as pa
+
+        from near_duplicate_detection_spark.operators import mor
         from near_duplicate_detection_spark.operators.delta import (
             relabel_pair_table,
             relabel_url_table,
-            retraction_mapping,
         )
 
-        cat = self.catalog
+        cat, cfg = self.catalog, self.cfg
         if max_retract is None:
-            max_retract = self.cfg.max_retract
+            max_retract = cfg.max_retract
         retracted = retracted.select("url").distinct().localCheckpoint()
         n_ret = retracted.count()
         if n_ret > max_retract:
             return False
+        # --- the relabel/drop plan, from the VIEWS (prior patch applied):
+        # broken reps' fp groups → min surviving member per group. All
+        # joins broadcast; outputs retraction-sized.
+        broken = (
+            self.stage_view("reps")
+            .join(F.broadcast(retracted), "url", "left_semi")
+            .select("url", "fp")
+            .localCheckpoint()
+        )
+        surv = (
+            self.stage_view("seen")
+            .join(
+                F.broadcast(broken.select("fp").distinct()), "fp", "left_semi"
+            )
+            .join(F.broadcast(retracted), "url", "left_anti")
+            .groupBy("fp")
+            .agg(F.min("url").alias("new_url"))
+        )
+        rep_new = {
+            r["url"]: r["new_url"]
+            for r in broken.join(F.broadcast(surv), "fp", "left")
+            .select("url", "new_url")
+            .collect()
+        }
+        mapping = {
+            r["url"]: rep_new.get(r["url"]) for r in retracted.collect()
+        }
+        stored = (
+            cat.read_small_rows(mor.PATCH_TABLE, ["url", "new_url", "era"])
+            if cat.exists(mor.PATCH_TABLE)
+            else []
+        )
+        fold = len(stored) + n_ret > cfg.retract_patch_ceiling
+        # bump FIRST and unconditionally (fold included): stage 3's
+        # merge-on-read tombstones reuse this counter later in the same
+        # entry-point flow and need an era strictly above every
+        # pre-existing clusters row
+        era = self._bump_retract_era()
+        # single-slice local relation (the cluster_label_delta convention:
+        # python-sourced relations otherwise parallelize into
+        # defaultParallelism partitions and pay a Python worker launch per
+        # partition downstream) — consumed only by broadcast joins below
+        mapping_df = self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(sorted(mapping.items()), 1),
+            schema="url string, new_url string",
+        )
         with open(self._retract_marker_path(), "w") as f:
             f.write("retraction in progress\n")
-        seen_after = (
-            cat.read("seen").join(retracted, "url", "left_anti").localCheckpoint()
-        )
-        mapping = retraction_mapping(
-            seen_after.select("url", "fp"), cat.read("reps"), retracted
-        ).localCheckpoint()
-        # single-url tables: reps + the 2b coverage/window state (the
-        # replacement rep inherits the old rep's windows byte-for-byte)
-        for t in ("reps", "window_index", "seen_2b"):
-            if cat.exists(t):
-                cat.write(
-                    relabel_url_table(cat.read(t), mapping).localCheckpoint(), t
-                )
-        for t in ("pairs", "substring_pairs", "edges_new"):
-            if cat.exists(t):
-                cat.write(
-                    relabel_pair_table(cat.read(t), mapping).localCheckpoint(), t
-                )
-        # the pending new-doc log DROPS retracted urls outright (the
-        # replacement rep is an OLD doc — substituting it would double it
-        # into stage 3's new_rows); an edited url re-enters via the
-        # subsequent append delta
+        if fold:
+            # copy-on-write fold: one broadcast-mapped rewrite per stage
+            # table, reading through the VIEWS so the stored patch folds in
+            # with this retraction's mapping; the fresh era stamp exempts
+            # the rewritten rows from every stored entry, then the patch
+            # dies. The replacement rep inherits the old rep's rows
+            # byte-for-byte (identical content).
+            cat.write(
+                self._stamp_era(
+                    self.stage_view("seen").join(
+                        F.broadcast(retracted), "url", "left_anti"
+                    )
+                ).localCheckpoint(),
+                "seen",
+            )
+            for t in ("reps", "window_index", "seen_2b"):
+                if cat.exists(t):
+                    cat.write(
+                        self._stamp_era(
+                            relabel_url_table(self.stage_view(t), mapping_df)
+                        ).localCheckpoint(),
+                        t,
+                    )
+            for t in ("pairs", "substring_pairs"):
+                if cat.exists(t):
+                    cat.write(
+                        self._stamp_era(
+                            relabel_pair_table(self.stage_view(t), mapping_df)
+                        ).localCheckpoint(),
+                        t,
+                    )
+            _shutil.rmtree(cat.path(mor.PATCH_TABLE), ignore_errors=True)
+            patch_rows = 0
+        else:
+            patch = mor.compose_patch(stored, mapping, era)
+            cat.write_small_local(
+                mor.PATCH_TABLE,
+                patch,
+                ["url", "new_url", "era"],
+                types=[pa.string(), pa.string(), pa.int64()],
+            )
+            patch_rows = len(patch)
+        # pending stage-3 logs are delta-sized — eager rewrite either way.
+        # edges_new: relabeled under the mapping so an uncommitted stage-3
+        # delta stays consistent; urls_new DROPS retracted urls outright
+        # (the replacement rep is an OLD doc — substituting it would double
+        # it into stage 3's new_rows); an edited url re-enters via the
+        # subsequent append delta.
+        if cat.exists("edges_new"):
+            cat.write(
+                relabel_pair_table(
+                    cat.read("edges_new"), mapping_df
+                ).localCheckpoint(),
+                "edges_new",
+            )
         if cat.exists("urls_new"):
             cat.write(
                 cat.read("urls_new")
-                .join(retracted, "url", "left_anti")
+                .join(F.broadcast(retracted), "url", "left_anti")
                 .localCheckpoint(),
                 "urls_new",
             )
-        cat.write(seen_after, "seen")
-        # stage-3 dissolve log LAST among the writes: if we crash before
-        # this append the marker still routes everything to the full path
-        cat.write(mapping, "urls_retracted", mode="append")
+        # stage-3 dissolve log LAST among the mutations (crash before this
+        # append → the marker still routes everything to the full path):
+        # driver-side parquet append, zero Spark jobs
+        cat._append_small(
+            "urls_retracted",
+            pd.DataFrame(sorted(mapping.items()), columns=["url", "new_url"]),
+            pa.schema([("url", pa.string()), ("new_url", pa.string())]),
+        )
         self._clear_retract_inflight()
-        cat.add_metrics("pairs", {"retracted_docs": n_ret})
+        cat.add_metrics(
+            "pairs",
+            {
+                "retracted_docs": n_ret,
+                "retract_mor_commit": 0 if fold else 1,
+                "retract_fold": 1 if fold else 0,
+                "retract_patch_rows": patch_rows,
+            },
+        )
         return True
 
     # ---------- stage 2b ----------
@@ -888,7 +1061,8 @@ class NDDPipeline:
         if cat.exists("reps"):
             # substring pass over unique-content representatives only —
             # exact copies are already linked by stage 2's star edges
-            pages = pages.join(cat.read("reps"), "url", "left_semi")
+            # (view: a retraction may have relabeled reps onto survivors)
+            pages = pages.join(self.stage_view("reps"), "url", "left_semi")
         # a full 2b rewrite supersedes the stage-3 append log the same way a
         # full stage-2 rewrite does (the substring edge set may change
         # wholesale — e.g. ceiling crossings can DROP pairs, which the
@@ -903,7 +1077,7 @@ class NDDPipeline:
         # pairs already verified by stage 2 don't need the expensive LCS pass
         if cat.exists("pairs"):
             cands = cands.join(
-                cat.read("pairs").select("url_a", "url_b"),
+                self.stage_view("pairs").select("url_a", "url_b"),
                 ["url_a", "url_b"],
                 "left_anti",
             )
@@ -913,21 +1087,24 @@ class NDDPipeline:
         # consumer
         cands = cands.localCheckpoint()
         hits = verify_substring_pairs(cands, pages, cfg)
-        cat.write(hits, "substring_pairs")
+        cat.write(self._stamp_era(hits), "substring_pairs")
         # delta-path state: the per-doc window fingerprint index + the set
         # of urls this pass covered (appended docs delta against these, the
         # same seen convention as stage 2). Coverage = the reps table when
         # it exists (equal to the pruned pages' urls, already materialized
         # and tiny — no second corpus scan), stamped with the 2b PARAM hash
         # so the delta can reject state built under other parameters.
-        cat.write(windows, "window_index")
+        cat.write(self._stamp_era(windows), "window_index")
         covered = (
-            cat.read("reps").select("url")
+            self.stage_view("reps").select("url")
             if cat.exists("reps")
             else pages.select("url")
         )
         cat.write(
-            covered.withColumn("cfg_hash", F.lit(cfg.stage2b_hash())), "seen_2b"
+            self._stamp_era(
+                covered.withColumn("cfg_hash", F.lit(cfg.stage2b_hash()))
+            ),
+            "seen_2b",
         )
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("substring_pairs")
@@ -975,7 +1152,15 @@ class NDDPipeline:
         if self._delta_suspect():
             return False  # crashed retraction/delta append → tables suspect
         h = self.stage2b_run_hash()
-        if cat.completed_partitions("substring_pairs", h):
+        # exists guard on the early-return too (not only the full path's):
+        # run hashes are CONTENT-derived, so healing a crashed retraction
+        # over unchanged content collides with the pre-crash commit's hash
+        # while the table was just WIPED by stage2_pairs — the stale
+        # lineage row must not shadow the missing table (stage 3 would
+        # silently lose every substring edge)
+        if cat.completed_partitions("substring_pairs", h) and cat.exists(
+            "substring_pairs"
+        ):
             return True
         if not (
             cat.exists("window_index")
@@ -999,9 +1184,13 @@ class NDDPipeline:
         if new_urls is None:
             new_pages = None  # discovered urls may predate the batch
             new_urls = (
-                cat.read("reps")
+                self.stage_view("reps")
                 .select("url")
-                .join(cat.read("seen_2b").select("url"), "url", "left_anti")
+                .join(
+                    self.stage_view("seen_2b").select("url"),
+                    "url",
+                    "left_anti",
+                )
                 .localCheckpoint()
             )
             n_new = new_urls.count()
@@ -1048,7 +1237,7 @@ class NDDPipeline:
             .localCheckpoint()
         )
         cands, flagged = delta_window_candidates(
-            cat.read("window_index"), new_windows, cfg
+            self.stage_view("window_index"), new_windows, cfg
         )
         # already-verified pairs (stage 2 or earlier 2b runs) skip the LCS.
         # The prior edge tables are corpus-dup-volume-sized: semi-probe them
@@ -1062,9 +1251,9 @@ class NDDPipeline:
         # checkpoint paid (round 3 ran two eager localCheckpoints here).
         cand_keys = cands.select("url_a", "url_b")
         prior_edges = (
-            cat.read("pairs")
+            self.stage_view("pairs")
             .select("url_a", "url_b")
-            .union(cat.read("substring_pairs").select("url_a", "url_b"))
+            .union(self.stage_view("substring_pairs").select("url_a", "url_b"))
         )
         prior_hits = prior_edges.join(
             F.broadcast(cand_keys), ["url_a", "url_b"], "left_semi"
@@ -1081,10 +1270,12 @@ class NDDPipeline:
         # stage-3 append log before the table append (same crash ordering
         # rule as the stage-2 delta: over-logging is safe, under-logging not)
         cat.write(hits.select("url_a", "url_b"), "edges_new", mode="append")
-        cat.write(hits, "substring_pairs", mode="append")
-        cat.write(new_windows, "window_index", mode="append")
+        cat.write(self._stamp_era(hits), "substring_pairs", mode="append")
+        cat.write(self._stamp_era(new_windows), "window_index", mode="append")
         cat.write(
-            new_urls.withColumn("cfg_hash", F.lit(cfg.stage2b_hash())),
+            self._stamp_era(
+                new_urls.withColumn("cfg_hash", F.lit(cfg.stage2b_hash()))
+            ),
             "seen_2b",
             mode="append",
         )
@@ -1118,10 +1309,10 @@ class NDDPipeline:
         ):
             return
         t0 = time.monotonic()
-        edges = cat.read("pairs").select("url_a", "url_b")
+        edges = self.stage_view("pairs").select("url_a", "url_b")
         if cat.exists("substring_pairs"):
             edges = edges.union(
-                cat.read("substring_pairs").select("url_a", "url_b")
+                self.stage_view("substring_pairs").select("url_a", "url_b")
             )
         labels = connected_components(edges)
         clusters = clusters_table(labels, self.pages_table().select("url"))
@@ -1142,7 +1333,13 @@ class NDDPipeline:
         # the write: a stale patch key could collide with a legitimately
         # re-emerging label in the rebuilt table)
         _shutil.rmtree(cat.path("cluster_remap"), ignore_errors=True)
-        cat.write(clusters, "clusters")
+        cat.write(self._stamp_era(clusters), "clusters")
+        # tombstones die AFTER the write (not with the remap wipe above):
+        # the rebuilt rows carry the current era, which every stored
+        # tombstone already fails to govern (era-inert), so a crash in
+        # the write→wipe window never resurrects dead rows — while a
+        # wipe-first crash would have
+        _shutil.rmtree(cat.path("cluster_tombstones"), ignore_errors=True)
         self._reset_append_era()  # full rewrite re-bases fragmentation
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("clusters")
@@ -1245,21 +1442,25 @@ class NDDPipeline:
                 .join(F.broadcast(retr), "url", "left_anti")
                 .localCheckpoint()
             )
-            if frontier.count() > max_remap:
+            n_frontier = frontier.count()
+            if n_frontier > max_remap:
                 return False  # dissolve set too wide to broadcast → full CC
             sub_edges = None
             if cat.exists("pairs"):
-                all_edges = cat.read("pairs").select("url_a", "url_b")
+                all_edges = self.stage_view("pairs").select("url_a", "url_b")
                 if cat.exists("substring_pairs"):
                     all_edges = all_edges.union(
-                        cat.read("substring_pairs").select("url_a", "url_b")
+                        self.stage_view("substring_pairs").select(
+                            "url_a", "url_b"
+                        )
                     )
                 sub_edges = pairs_touching(all_edges, frontier)
             base_old = old.join(F.broadcast(affected), "cluster_id", "left_anti")
         else:
             retr = frontier = sub_edges = None
-            n_retr = n_dissolved = 0
+            n_retr = n_dissolved = n_frontier = 0
             base_old = old
+        had_tomb = cat.exists("cluster_tombstones")
         edge_parts = []
         if has_edges:
             edge_parts.append(cat.read("edges_new").select("url_a", "url_b"))
@@ -1310,35 +1511,64 @@ class NDDPipeline:
             )
         else:
             new_rows = new_rows.withColumn("cluster_id", F.col("url"))
-        if not has_retract and driver_solved:
-            # O(append) commit (merge-on-read): the new rows land as an
-            # APPEND and label merges land as patch rows in the
-            # ``cluster_remap`` sidecar (old_label → new_label, applied by
-            # every reader through ``patched_clusters``) — the
-            # corpus-sized table is never rewritten on the append path. The
-            # new remaps operate on PATCHED labels (``old`` above reads the
-            # view), so the stored patch composes with them transitively;
-            # labels only ever decrease (min-root union-find), so a folded
-            # key can never re-emerge as a displayed label and one join
-            # pass resolves every row. Over the broadcast ceiling the
-            # rewrite-and-swap below folds the patch instead (the
-            # Iceberg-MERGE analog, shared with the retract path). Crash
-            # protocol: marker up across append + patch write + log wipe —
-            # a crash leaves the marker, every delta entry refuses, and the
+        if driver_solved:
+            # Merge-on-read commit, appends AND retractions: new rows land
+            # as an APPEND, label merges land as ``cluster_remap`` patch
+            # rows (old_label → new_label), and a retraction's dissolved
+            # memberships land as ``cluster_tombstones`` rows (url, era) —
+            # applied by every reader through ``patched_clusters``. The
+            # corpus-sized clusters table is never rewritten on either
+            # delta path. The new remaps operate on PATCHED labels (``old``
+            # above reads the view), so the stored patch composes with
+            # them transitively; labels only ever decrease (min-root
+            # union-find), so a folded key can never re-emerge as a
+            # displayed label and one join pass resolves every row.
+            # Tombstones are era-discriminated (operators/mor.py): the
+            # frontier's re-labeled rows are appended at the CURRENT
+            # retraction era, which the tombstone written at that same era
+            # does not govern — only the pre-retraction rows die. Over any
+            # broadcast ceiling the rewrite-and-swap below folds both
+            # sidecars instead (the Iceberg-MERGE analog). Crash protocol:
+            # marker up across append + sidecar writes + log wipe — a
+            # crash leaves the marker, every delta entry refuses, and the
             # idempotent full rebuild heals.
             new_patch = self._compose_label_patch(changed_map or {})
+            n_tomb = n_retr + n_frontier
+            n_tomb_old = (
+                cat.count_rows("cluster_tombstones") if had_tomb else 0
+            )
             # era ceiling: after cfg.clusters_append_ceiling consecutive
-            # MOR commits, fold instead (the rewrite below) — bounds both
-            # small-file growth (one file per MOR commit) and patch age
+            # MOR commits, fold instead (the rewrite below) — bounds
+            # small-file growth (one file per MOR commit), patch age, and
+            # tombstone accumulation (also capped at the broadcast bound)
             if (
                 len(new_patch) <= max_remap
+                and n_tomb_old + n_tomb <= max_remap
                 and self._append_era() < self.cfg.clusters_append_ceiling
             ):
-                appended = new_rows.withColumn(
-                    "is_representative", F.col("url") == F.col("cluster_id")
+                appended = self._stamp_era(
+                    new_rows.withColumn(
+                        "is_representative",
+                        F.col("url") == F.col("cluster_id"),
+                    )
                 ).coalesce(1)
                 self._set_marker("delta.inflight")
                 cat.write(appended, "clusters", mode="append")
+                if has_retract:
+                    # ALL rows of the dissolved clusters die: retracted
+                    # members outright, frontier members' PRE-retraction
+                    # rows (their re-labeled rows were just appended at
+                    # the current era, which this tombstone — written at
+                    # that same era — does not govern)
+                    tomb = (
+                        retr.select("url")
+                        .unionByName(frontier.select("url"))
+                        .withColumn(
+                            "era", F.lit(int(self._retract_era()))
+                        )
+                        .coalesce(1)
+                    )
+                    cat.write(tomb, "cluster_tombstones", mode="append")
                 if new_patch:
                     # driver-side pyarrow write: zero Spark jobs (a python-
                     # sourced Spark write pays a worker launch per default
@@ -1362,14 +1592,18 @@ class NDDPipeline:
                 cat.add_metrics(
                     "clusters",
                     {
+                        # physical footer count: includes tombstoned rows
+                        # until a fold reclaims them (live count = view)
                         "rows": n,
                         "delta_new_edges": n_new_edges,
-                        "delta_new_urls": n - n_old_rows,
+                        "delta_new_urls": n - n_old_rows - n_frontier,
                         "delta_merged_labels": n_remap,
-                        "delta_retracted_urls": 0,
-                        "delta_dissolved_clusters": 0,
-                        "delta_append_only_commit": 1,
+                        "delta_retracted_urls": n_retr,
+                        "delta_dissolved_clusters": n_dissolved,
+                        "delta_append_only_commit": 0 if has_retract else 1,
+                        "delta_retract_mor_commit": 1 if has_retract else 0,
                         "delta_patch_rows": len(new_patch),
+                        "delta_tombstone_rows": n_tomb_old + n_tomb,
                         "wall_ms": wall_ms,
                     },
                 )
@@ -1392,8 +1626,10 @@ class NDDPipeline:
                     ),
                 )
             )
-        clusters_next = updated_old.unionByName(new_rows).withColumn(
-            "is_representative", F.col("url") == F.col("cluster_id")
+        clusters_next = self._stamp_era(
+            updated_old.unionByName(new_rows).withColumn(
+                "is_representative", F.col("url") == F.col("cluster_id")
+            )
         )
         # stage → wipe log → swap (see docstring crash protocol)
         _shutil.rmtree(cat.path("clusters_next"), ignore_errors=True)
@@ -1406,7 +1642,7 @@ class NDDPipeline:
         # must count BEFORE the log wipe below (new_rows reads urls_new)
         n_new_urls = (
             cat.count_rows("clusters_next") - n_old_rows
-            if not has_retract
+            if not (has_retract or had_tomb)
             else new_rows.count()
         )
         for t in self._STAGE3_LOG_TABLES:
@@ -1416,6 +1652,12 @@ class NDDPipeline:
         _shutil.rmtree(cat.path("cluster_remap"), ignore_errors=True)
         _shutil.rmtree(cat.path("clusters"), ignore_errors=True)
         os.rename(cat.path("clusters_next"), cat.path("clusters"))
+        # tombstones die AFTER the swap (unlike the remap wipe above): the
+        # staged rows carry the current era, which stored tombstones fail
+        # to govern (era-inert) — a crash in the swap→wipe window is
+        # harmless, while wipe-before-swap would resurrect dead rows in
+        # the still-old table
+        _shutil.rmtree(cat.path("cluster_tombstones"), ignore_errors=True)
         self._reset_append_era()  # rewriting commit re-bases fragmentation
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("clusters")
@@ -2308,18 +2550,50 @@ class NDDPipeline:
         t0 = time.monotonic()
         out: dict = {}
         if cat.exists("clusters") and (
-            cat.exists("cluster_remap") or self._append_era() > 0
+            cat.exists("cluster_remap")
+            or cat.exists("cluster_tombstones")
+            or self._append_era() > 0
         ):
             before = cat.file_count("clusters")
             _shutil.rmtree(cat.path("clusters_next"), ignore_errors=True)
-            cat.write(self.clusters_view(), "clusters_next")  # patch folded
+            # the view resolves tombstones + label patch → both folded
+            cat.write(self._stamp_era(self.clusters_view()), "clusters_next")
             self._set_marker("delta.inflight")
             _shutil.rmtree(cat.path("cluster_remap"), ignore_errors=True)
             _shutil.rmtree(cat.path("clusters"), ignore_errors=True)
             _os.rename(cat.path("clusters_next"), cat.path("clusters"))
+            # after the swap: era-inert against the staged rows, so the
+            # swap→wipe crash window never resurrects dead rows
+            _shutil.rmtree(cat.path("cluster_tombstones"), ignore_errors=True)
             self._reset_append_era()
             self._clear_marker("delta.inflight")
             out["clusters"] = (before, cat.file_count("clusters"))
+        from near_duplicate_detection_spark.operators import mor as _mor
+
+        if cat.exists(_mor.PATCH_TABLE):
+            # fold the merge-on-read RETRACTION patch (operators/mor.py):
+            # rewrite each governed stage-2/2b table from its view — the
+            # broadcast-resolved logical rows — with a fresh era stamp,
+            # then drop the sidecar. Readers skip the patch join entirely
+            # afterwards. Crash protocol: retract.inflight brackets the
+            # multi-table rewrite (same marker as a mid-flight retraction);
+            # a crash routes every delta entry to the full rebuild.
+            n_patch = cat.count_rows(_mor.PATCH_TABLE)
+            with open(self._retract_marker_path(), "w") as f:
+                f.write("patch fold in progress\n")
+            for table in _mor.GOVERNED_TABLES:
+                if cat.exists(table):
+                    cat.write(
+                        self._stamp_era(self.stage_view(table))
+                        .localCheckpoint(),
+                        table,
+                    )
+            _shutil.rmtree(cat.path(_mor.PATCH_TABLE), ignore_errors=True)
+            self._clear_retract_inflight()
+            out["retract_patch"] = (1, 0)
+            cat.add_metrics(
+                "compaction", {"retract_patch_rows_folded": n_patch}
+            )
         for table in ("pages", "signatures"):
             if not cat.exists(table):
                 continue
@@ -2373,10 +2647,35 @@ def patched_clusters(catalog: StageCatalog) -> DataFrame:
     wipes it, so the patch never grows past one append era. The patch is
     transitively closed by construction (composition at every commit), so
     one join pass fully resolves labels; ``is_representative`` is
-    recomputed against the patched label."""
+    recomputed against the patched label.
+
+    Stage-3 RETRACTION commits are merge-on-read too: a dissolved
+    cluster's memberships land as ``cluster_tombstones`` rows (url, era)
+    and the surviving members' re-labeled rows are appended at the
+    retraction's era. A tombstone governs exactly the rows that PREDATE
+    it (row.era < tombstone era — operators/mor.py era semantics; the
+    newest tombstone per url suffices because a tombstone always kills
+    every row alive at its commit). Both sidecars resolve here with one
+    broadcast join each, bounded by ``cfg.max_remap``; any rewriting
+    commit folds and wipes them."""
     df = catalog.read("clusters")
+    cols = ("url", "cluster_id", "is_representative")
+    if catalog.exists("cluster_tombstones"):
+        tomb = (
+            catalog.read("cluster_tombstones")
+            .groupBy("url")
+            .agg(F.max("era").alias("__tomb_era"))
+        )
+        df = (
+            df.join(F.broadcast(tomb), "url", "left")
+            .where(
+                F.col("__tomb_era").isNull()
+                | (F.col("era") >= F.col("__tomb_era"))
+            )
+            .drop("__tomb_era")
+        )
     if not catalog.exists("cluster_remap"):
-        return df
+        return df.select(*cols)
     rm = catalog.read("cluster_remap")
     return (
         df.join(F.broadcast(rm), df["cluster_id"] == rm["old_label"], "left")

@@ -353,10 +353,17 @@ def test_append_with_merge_uses_label_patch(
         .toPandas()
     )
     assert _partition(after) == _partition(full)
-    # a retraction folds the patch into its rewrite and wipes the sidecar
+    # a retraction is itself merge-on-read now (stage-3 tombstones +
+    # composed label patch — round-4 MOR retraction), so the sidecar
+    # SURVIVES it; the scheduled fold (compact) is what wipes both
     folded = pipe.delete_pages([novel_url]).toPandas()
-    assert not pipe.catalog.exists("cluster_remap")
     assert set(folded[folded.cluster_id == grp].url) == members
+    pipe.compact()
+    assert not pipe.catalog.exists("cluster_remap")
+    assert not pipe.catalog.exists("cluster_tombstones")
+    assert set(
+        pipe.clusters_view().toPandas().query("cluster_id == @grp").url
+    ) == members
 
 
 def test_append_then_delete_same_doc_restores_base(
@@ -384,5 +391,6 @@ def test_append_then_delete_same_doc_restores_base(
     assert len(after) == N1
     assert dup_url not in set(after.url)
     assert _partition(after) == _partition(base)
-    assert not pipe.catalog.exists("cluster_remap")
+    # the MOR retraction keeps (composes) the label patch — the displayed
+    # partition above is what matters; the log must be consumed though
     assert not pipe.catalog.exists("urls_retracted")
