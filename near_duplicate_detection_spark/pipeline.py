@@ -23,6 +23,8 @@ from __future__ import annotations
 import hashlib
 import time
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1422,13 +1424,19 @@ class NDDPipeline:
         # readers currently see, and any rewrite below must fold the patch
         old = self.clusters_view().select("url", "cluster_id")
         if has_retract:
-            retr = (
-                cat.read("urls_retracted")
-                .select("url")
-                .distinct()
-                .localCheckpoint()
+            # the dissolve log is retraction-sized and driver-written: read
+            # it driver-side and ship a LocalRelation (no scan job, no
+            # checkpoint, count known without a job)
+            retr_urls = sorted(
+                {
+                    u
+                    for (u,) in cat.read_small_rows("urls_retracted", ["url"])
+                }
             )
-            n_retr = retr.count()
+            n_retr = len(retr_urls)
+            retr = self.spark.createDataFrame(
+                pd.DataFrame({"url": retr_urls}), schema="url string"
+            )
             affected = (
                 old.join(F.broadcast(retr), "url", "left_semi")
                 .select("cluster_id")
@@ -1695,10 +1703,11 @@ class NDDPipeline:
         cat = self.catalog
         patch: dict[str, str] = {}
         if cat.exists("cluster_remap"):
-            patch = {
-                r["old_label"]: r["new_label"]
-                for r in cat.read("cluster_remap").collect()
-            }
+            patch = dict(
+                cat.read_small_rows(
+                    "cluster_remap", ["old_label", "new_label"]
+                )
+            )
         out = {o: changed.get(n, n) for o, n in patch.items()}
         for c, n in changed.items():
             if c not in patch:
@@ -2658,14 +2667,12 @@ def patched_clusters(catalog: StageCatalog) -> DataFrame:
     every row alive at its commit). Both sidecars resolve here with one
     broadcast join each, bounded by ``cfg.max_remap``; any rewriting
     commit folds and wipes them."""
+    from near_duplicate_detection_spark.operators import mor
+
     df = catalog.read("clusters")
     cols = ("url", "cluster_id", "is_representative")
-    if catalog.exists("cluster_tombstones"):
-        tomb = (
-            catalog.read("cluster_tombstones")
-            .groupBy("url")
-            .agg(F.max("era").alias("__tomb_era"))
-        )
+    tomb = mor.tombstone_agg(catalog)
+    if tomb is not None:
         df = (
             df.join(F.broadcast(tomb), "url", "left")
             .where(
@@ -2674,9 +2681,9 @@ def patched_clusters(catalog: StageCatalog) -> DataFrame:
             )
             .drop("__tomb_era")
         )
-    if not catalog.exists("cluster_remap"):
+    rm = mor.remap_df(catalog)
+    if rm is None:
         return df.select(*cols)
-    rm = catalog.read("cluster_remap")
     return (
         df.join(F.broadcast(rm), df["cluster_id"] == rm["old_label"], "left")
         .select(
