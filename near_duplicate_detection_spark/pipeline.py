@@ -73,6 +73,12 @@ class NDDPipeline:
         # means "unknown, discover". Never persisted: a fresh process always
         # discovers.
         self._appended_rep_urls: DataFrame | None = None
+        # the same run's appended stage-2 pairs (checkpointed in
+        # _stage2_apply_append) — threaded into stage2b_delta's
+        # already-verified prune so the threaded path never scans the
+        # corpus-sized edge tables. Consumed (and cleared) per call; a
+        # fresh process falls back to the edge-table scan.
+        self._appended_edges: DataFrame | None = None
 
     # ---------- stage 0 ----------
 
@@ -695,6 +701,12 @@ class NDDPipeline:
         # materialize the appended pairs ONCE: two writes consume them
         # (edges_new log, pairs append) and the verify join must not re-run
         appended_pairs = verified.unionByName(exact_edges).localCheckpoint()
+        # stash this run's edge keys for stage2b_delta's prune: on the
+        # threaded path every VISIBLE prior edge touching a new url is by
+        # construction in this set (new urls have no earlier visible edges —
+        # appends are genuinely new, and updates' old edges are retraction-
+        # governed before this append runs)
+        self._appended_edges = appended_pairs.select("url_a", "url_b")
         # evaluate the flagged metric BEFORE the appends below mutate the
         # tables its lineage reads from (stale file-listing hazard)
         n_flagged = flagged.count()
@@ -1149,7 +1161,13 @@ class NDDPipeline:
         them materialized (``append_pages``'s batch) — the window
         fingerprint then reads the batch instead of probing the corpus
         pages table for the same texts. Ignored whenever ``new_urls`` falls
-        back to discovery (discovered urls need not be in the batch)."""
+        back to discovery (discovered urls need not be in the batch).
+
+        On the verified-threaded path the already-verified-pair prune uses
+        the same run's appended stage-2 edges (``self._appended_edges``)
+        instead of scanning the pairs/substring_pairs tables — the threaded
+        urls can have no other visible edges. The discovery fallback keeps
+        the edge-table probe."""
         cfg, cat = self.cfg, self.catalog
         if self._delta_suspect():
             return False  # crashed retraction/delta append → tables suspect
@@ -1179,11 +1197,17 @@ class NDDPipeline:
         # substring_pairs (twice) and seen_2b per run for the same window.
         if cat.distinct_values("seen_2b", "cfg_hash") != {cfg.stage2b_hash()}:
             return False
+        # consume the same-run stage-2 edge stash (see _stage2_apply_append):
+        # only trustworthy on the verified-threaded path below — a discovery
+        # fallback may cover urls from EARLIER batches whose visible edges
+        # the stash never saw
+        edges_hint, self._appended_edges = self._appended_edges, None
         if new_urls is not None:
             n_new = new_urls.count()
             if cat.count_rows("reps") != cat.count_rows("seen_2b") + n_new:
                 new_urls = None  # coverage lag → discover below
         if new_urls is None:
+            edges_hint = None
             new_pages = None  # discovered urls may predate the batch
             new_urls = (
                 self.stage_view("reps")
@@ -1201,7 +1225,14 @@ class NDDPipeline:
                 "substring_pairs", h, {-1: cat.count_rows("substring_pairs")}, 0
             )
             return True
-        self._stage2b_apply_append(new_urls, n_new, h, t0, new_pages=new_pages)
+        self._stage2b_apply_append(
+            new_urls,
+            n_new,
+            h,
+            t0,
+            new_pages=new_pages,
+            prior_edges=edges_hint,
+        )
         return True
 
     def _stage2b_apply_append(
@@ -1211,6 +1242,7 @@ class NDDPipeline:
         h: str,
         t0: float,
         new_pages: DataFrame | None = None,
+        prior_edges: DataFrame | None = None,
     ) -> None:
         """Shared append core of the stage-2b delta: fingerprint the new
         docs' windows, probe the persisted window_index, verify, append.
@@ -1242,29 +1274,43 @@ class NDDPipeline:
             self.stage_view("window_index"), new_windows, cfg
         )
         # already-verified pairs (stage 2 or earlier 2b runs) skip the LCS.
-        # The prior edge tables are corpus-dup-volume-sized: semi-probe them
-        # map-side with the (broadcast) candidate keys, then anti-join the
-        # append-sized hit set back — never a shuffle of the edge tables
-        # (round 3 ran one SMJ anti-join per prior table here).
-        # ONE materialization fuses candidate generation with the prune: the
-        # unmaterialized cands subplan appears twice in it (broadcast keys +
-        # probe side) but re-derives from the checkpointed window buckets —
-        # cheaper than the extra barrier a cands-then-prune double
-        # checkpoint paid (round 3 ran two eager localCheckpoints here).
-        cand_keys = cands.select("url_a", "url_b")
-        prior_edges = (
-            self.stage_view("pairs")
-            .select("url_a", "url_b")
-            .union(self.stage_view("substring_pairs").select("url_a", "url_b"))
-        )
-        prior_hits = prior_edges.join(
-            F.broadcast(cand_keys), ["url_a", "url_b"], "left_semi"
-        )
-        # materialized: verify reads cands three times (url set + pair join),
-        # and each read would otherwise re-run the prior-edge scan above
-        cands = cands.join(
-            F.broadcast(prior_hits), ["url_a", "url_b"], "left_anti"
-        ).localCheckpoint()
+        if prior_edges is not None:
+            # verified-threaded path: ``prior_edges`` is the SAME run's
+            # appended stage-2 pairs (checkpointed, append-sized). Every
+            # candidate touches ≥1 threaded url, and a threaded url has no
+            # OTHER visible edges — it is either genuinely new or its old
+            # edges were retraction-governed before the append — so one
+            # broadcast anti-join prunes exactly what the edge-table scan
+            # would, with zero corpus-edge reads.
+            cands = cands.join(
+                F.broadcast(prior_edges), ["url_a", "url_b"], "left_anti"
+            ).localCheckpoint()
+        else:
+            # discovery path: covered urls may predate this run, so probe
+            # the prior edge tables (corpus-dup-volume-sized) map-side with
+            # the broadcast candidate keys, then anti-join the append-sized
+            # hit set back — never a shuffle of the edge tables.
+            # ONE materialization fuses candidate generation with the
+            # prune: the unmaterialized cands subplan appears twice in it
+            # (broadcast keys + probe side) but re-derives from the
+            # checkpointed window buckets — cheaper than the extra barrier
+            # a cands-then-prune double checkpoint paid.
+            cand_keys = cands.select("url_a", "url_b")
+            edge_tables = (
+                self.stage_view("pairs")
+                .select("url_a", "url_b")
+                .union(
+                    self.stage_view("substring_pairs").select("url_a", "url_b")
+                )
+            )
+            prior_hits = edge_tables.join(
+                F.broadcast(cand_keys), ["url_a", "url_b"], "left_semi"
+            )
+            # materialized: verify reads cands three times (url set + pair
+            # join), and each read would otherwise re-run the scan above
+            cands = cands.join(
+                F.broadcast(prior_hits), ["url_a", "url_b"], "left_anti"
+            ).localCheckpoint()
         hits = verify_substring_pairs(cands, self.pages_table(), cfg)
         hits = hits.localCheckpoint()  # two consumers: log + table append
         n_flagged = flagged.count()
@@ -1805,6 +1851,7 @@ class NDDPipeline:
             self.stage0_ingest(pages, resume=True)
         self.stage1_signatures(resume=True)
         self._appended_rep_urls = None
+        self._appended_edges = None
         if not self.stage2_pairs_delta():
             self.stage2_pairs(resume=True)
         if substring_pass:

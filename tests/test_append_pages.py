@@ -100,6 +100,33 @@ def test_append_pages_matches_full_rebuild_and_skips_control_plane(
     assert (rewrites > 0).sum() == 1  # the base build only
 
 
+def test_pure_append_never_reads_edge_tables(
+    spark, tmp_path_factory, monkeypatch, base_catalog, full_n2
+):
+    """A pure append touches NO corpus-edge table: stage 2b's already-
+    verified prune uses the same run's appended stage-2 pairs (the
+    ``_appended_edges`` stash) and stage 3 contracts the logged edges —
+    pairs/substring_pairs are never read through stage_view. Correctness
+    is re-pinned against the full rebuild under the instrumented view."""
+    pipe = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_ap_noedge")
+    )
+    seen_tables: list[str] = []
+    orig = NDDPipeline.stage_view
+
+    def spy(self, table):
+        seen_tables.append(table)
+        return orig(self, table)
+
+    monkeypatch.setattr(NDDPipeline, "stage_view", spy)
+    clusters = pipe.append_pages(
+        generate_pages(spark, N2, start=N1)
+    ).toPandas()
+    assert _partition(clusters) == _partition(full_n2)
+    assert "pairs" not in seen_tables
+    assert "substring_pairs" not in seen_tables
+
+
 def test_append_pages_interchangeable_with_run_incremental(
     spark, tmp_path_factory, base_catalog, full_n2
 ):
