@@ -83,19 +83,30 @@ def drift_violations(drift: DataFrame) -> DataFrame:
 
 
 def pairs_touching(cands: DataFrame, new_urls: DataFrame) -> DataFrame:
-    """Pairs with ≥1 side in new_urls (canonical column order preserved —
-    equi-joins move keys to the front, so each branch re-selects)."""
+    """Pairs with ≥1 side in new_urls — ONE scan of ``cands``: two broadcast
+    left joins flag each side and a disjunctive filter keeps flagged rows.
+    (The previous two-semi-join union scanned ``cands`` twice and paid a
+    dropDuplicates shuffle to merge the branches — at the stage-3 dissolve
+    call site ``cands`` is the corpus-sized pairs ∪ substring_pairs view,
+    so the double scan dominated the delta's fixed cost.) Pure filter
+    semantics: output multiplicity equals input multiplicity, so callers
+    needing distinct output must hand distinct ``cands`` or dedup after
+    (the two stage-2/2b sites hand distinct cands; the stage-3 dissolve
+    site hands pairs ∪ substring_pairs — internally distinct tables that
+    may overlap — and dedups the combined edge union downstream).
+    Canonical column order re-selected — equi-joins move keys to the
+    front."""
+    ua = new_urls.select(
+        F.col("url").alias("url_a"), F.lit(True).alias("__ta")
+    )
+    ub = new_urls.select(
+        F.col("url").alias("url_b"), F.lit(True).alias("__tb")
+    )
     return (
-        cands.join(
-            new_urls.withColumnRenamed("url", "url_a"), "url_a", "left_semi"
-        )
+        cands.join(F.broadcast(ua), "url_a", "left")
+        .join(F.broadcast(ub), "url_b", "left")
+        .where(F.col("__ta").isNotNull() | F.col("__tb").isNotNull())
         .select("url_a", "url_b")
-        .union(
-            cands.join(
-                new_urls.withColumnRenamed("url", "url_b"), "url_b", "left_semi"
-            ).select("url_a", "url_b")
-        )
-        .dropDuplicates(["url_a", "url_b"])
     )
 
 

@@ -1483,22 +1483,41 @@ class NDDPipeline:
             retr = self.spark.createDataFrame(
                 pd.DataFrame({"url": retr_urls}), schema="url string"
             )
-            affected = (
-                old.join(F.broadcast(retr), "url", "left_semi")
+            # affected cluster ids and the surviving frontier are both
+            # ceiling-bounded (affected ≤ |retraction|; frontier guarded by
+            # max_remap below), so COLLECT them into LocalRelations instead
+            # of localCheckpoint+count: one evaluation each of the corpus
+            # clusters view rather than two, and every downstream broadcast
+            # (pairs_touching probe, base_old anti-join, tombstone union)
+            # builds driver-side with no extra job
+            affected_ids = sorted(
+                r["cluster_id"]
+                for r in old.join(F.broadcast(retr), "url", "left_semi")
                 .select("cluster_id")
                 .distinct()
-                .localCheckpoint()
+                .collect()
             )
-            n_dissolved = affected.count()
-            frontier = (
+            n_dissolved = len(affected_ids)
+            affected = self.spark.createDataFrame(
+                pd.DataFrame({"cluster_id": affected_ids}),
+                schema="cluster_id string",
+            )
+            # take(ceiling+1) pushes a CollectLimit: an over-ceiling dissolve
+            # (giant cluster) early-stops instead of materializing the set
+            frontier_rows = (
                 old.join(F.broadcast(affected), "cluster_id", "left_semi")
                 .select("url")
                 .join(F.broadcast(retr), "url", "left_anti")
-                .localCheckpoint()
+                .take(max_remap + 1)
             )
-            n_frontier = frontier.count()
+            n_frontier = len(frontier_rows)
             if n_frontier > max_remap:
                 return False  # dissolve set too wide to broadcast → full CC
+            frontier_urls = sorted(r["url"] for r in frontier_rows)
+            frontier = self.spark.createDataFrame(
+                pd.DataFrame({"url": frontier_urls}),
+                schema="url string",
+            )
             sub_edges = None
             if cat.exists("pairs"):
                 all_edges = self.stage_view("pairs").select("url_a", "url_b")
@@ -1525,6 +1544,14 @@ class NDDPipeline:
             for p in edge_parts[1:]:
                 combined = combined.union(p)
             combined = combined.dropDuplicates(["url_a", "url_b"])
+            if sub_edges is not None:
+                # the dissolve edges read the corpus-sized pairs views;
+                # cluster_label_delta evaluates its edge input twice (label
+                # lookup endpoints, then the contraction) — materialize ONCE.
+                # Change-proportional: |edges_new| + the dissolved clusters'
+                # edge degree. The pure-append path skips this (edges_new is
+                # a small committed read — a checkpoint would only add a job)
+                combined = combined.localCheckpoint()
             # frontier members are NOT in base_old, so the contraction keeps
             # them as raw nodes and re-derives their labels from scratch
             remap, node_labels, n_remap, changed_map = cluster_label_delta(
@@ -1613,16 +1640,32 @@ class NDDPipeline:
                     # members outright, frontier members' PRE-retraction
                     # rows (their re-labeled rows were just appended at
                     # the current era, which this tombstone — written at
-                    # that same era — does not govern)
-                    tomb = (
-                        retr.select("url")
-                        .unionByName(frontier.select("url"))
-                        .withColumn(
-                            "era", F.lit(int(self._retract_era()))
+                    # that same era — does not govern). Both url sets are
+                    # already driver lists (ceiling-checked above), so the
+                    # append is a driver-side read-union-rewrite of the
+                    # ceiling-bounded sidecar — zero Spark jobs (a python-
+                    # sourced Spark append pays a Python-worker launch per
+                    # default partition, ~4 s measured for tiny tables)
+                    import pyarrow as _pa
+
+                    era_now = int(self._retract_era())
+                    new_tomb = [
+                        (u, era_now)
+                        for u in sorted(set(retr_urls) | set(frontier_urls))
+                    ]
+                    old_tomb = (
+                        cat.read_small_rows(
+                            "cluster_tombstones", ["url", "era"]
                         )
-                        .coalesce(1)
+                        if had_tomb
+                        else []
                     )
-                    cat.write(tomb, "cluster_tombstones", mode="append")
+                    cat.write_small_local(
+                        "cluster_tombstones",
+                        old_tomb + new_tomb,
+                        ["url", "era"],
+                        types=[_pa.string(), _pa.int64()],
+                    )
                 if new_patch:
                     # driver-side pyarrow write: zero Spark jobs (a python-
                     # sourced Spark write pays a worker launch per default
