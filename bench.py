@@ -124,8 +124,9 @@ def _measure_incremental(
                                docs removed (targeted retraction, dissolve +
                                re-cluster path)
       delete_pages_sec         the same ~10% delete via delete_pages (caller
-                               hands exactly the deleted urls — anti-join
-                               bucket rewrites, zero re-signing)
+                               hands exactly the deleted urls — one
+                               page_tombstones sidecar commit, zero bucket
+                               rewrites, zero re-signing)
     """
     from pyspark.sql import functions as F
 

@@ -59,6 +59,13 @@ class NDDConfig:
     # driver-side composition. Same Iceberg MOR-maintenance shape as
     # clusters_append_ceiling; execution strategy, excluded from hashes.
     retract_patch_ceiling: int = 1_000_000
+    # accumulated page_tombstones rows before a delete/update folds the
+    # sidecar physically (rewrites the governed buckets of pages/signatures
+    # and applies its own batch copy-on-write) instead of extending it.
+    # 0 disables merge-on-read entirely — every delete/update rewrites its
+    # affected buckets, the round-3 copy-on-write shape. Execution
+    # strategy, excluded from hashes (views are identical either way).
+    page_tombstone_ceiling: int = 1_000_000
     # --- layout ---
     # url-hash partitions for lineage granularity. ≥2× the largest local core
     # count (and thousands on a real cluster): stage-0/1 partitioned writes

@@ -59,6 +59,11 @@ URL_DROP_TABLES = ("seen",)            # governing entry ⇒ row dropped
 URL_RELABEL_TABLES = ("reps", "window_index", "seen_2b")
 PAIR_TABLES = ("pairs", "substring_pairs")
 GOVERNED_TABLES = URL_DROP_TABLES + URL_RELABEL_TABLES + PAIR_TABLES
+# url-tombstone sidecar governing the bucket tables (pages + signatures):
+# explicit deletes/updates append (url, era) rows here instead of rewriting
+# every affected bucket — the same position-delete analog as the stage-3
+# cluster_tombstones, folded physically by compact() or the ceiling
+PAGE_TOMBSTONES = "page_tombstones"
 
 # sidecar → broadcast-ready LocalRelation cache, keyed by (session, catalog
 # dir, file signature). Sidecars are ceiling-bounded, so they are read
@@ -125,13 +130,14 @@ def patch_agg(catalog) -> DataFrame | None:
     return sidecar_local_df(catalog, PATCH_TABLE, build)
 
 
-def tombstone_agg(catalog) -> DataFrame | None:
-    """The stage-3 ``cluster_tombstones`` sidecar as a broadcast-ready
-    LocalRelation: (url, __tomb_era = newest tombstone era per url). The
-    newest suffices — a tombstone kills every row alive at its commit."""
+def url_tombstone_agg(catalog, table: str) -> DataFrame | None:
+    """A url-tombstone sidecar as a broadcast-ready LocalRelation:
+    (url, __tomb_era = newest tombstone era per url). The newest suffices —
+    a tombstone kills every row alive at its commit, so exemption from the
+    newest entry implies exemption from every older one."""
 
     def build(cat):
-        rows = cat.read_small_rows("cluster_tombstones", ["url", "era"])
+        rows = cat.read_small_rows(table, ["url", "era"])
         agg: dict[str, int] = {}
         for url, e in rows:
             agg[url] = max(agg.get(url, 0), int(e))
@@ -140,7 +146,36 @@ def tombstone_agg(catalog) -> DataFrame | None:
         )
         return pdf, "url string, __tomb_era bigint"
 
-    return sidecar_local_df(catalog, "cluster_tombstones", build)
+    return sidecar_local_df(catalog, table, build)
+
+
+def tombstone_agg(catalog) -> DataFrame | None:
+    """The stage-3 ``cluster_tombstones`` sidecar (see url_tombstone_agg)."""
+    return url_tombstone_agg(catalog, "cluster_tombstones")
+
+
+def page_tombstone_agg(catalog) -> DataFrame | None:
+    """The ``page_tombstones`` sidecar governing the pages AND signatures
+    bucket tables (they are written in lockstep, one row per live url each,
+    so one sidecar governs both)."""
+    return url_tombstone_agg(catalog, PAGE_TOMBSTONES)
+
+
+def apply_tombstones(df: DataFrame, tomb: DataFrame) -> DataFrame:
+    """Resolve a url-tombstone sidecar over an era-stamped table: a row
+    survives iff no tombstone governs it (row.era >= newest tombstone era —
+    rows written at or after the tombstone commit are re-adds). One
+    broadcast join against a cached LocalRelation — map-side, zero scan
+    jobs, zero wide shuffles."""
+    cols = df.columns
+    return (
+        df.join(F.broadcast(tomb), "url", "left")
+        .where(
+            F.col("__tomb_era").isNull()
+            | (F.col("era") >= F.col("__tomb_era"))
+        )
+        .select(*cols)
+    )
 
 
 def remap_df(catalog) -> DataFrame | None:

@@ -154,7 +154,11 @@ class NDDPipeline:
         if not pending:
             return
         nonempty = [b for b in pending if b in stats]
-        with_bucket = pages.withColumn("bucket", self._bucket_expr())
+        # era-stamped at write time (merge-on-read governance — rows written
+        # now postdate every stored page tombstone, see operators/mor.py)
+        with_bucket = self._stamp_era(
+            pages.withColumn("bucket", self._bucket_expr())
+        )
         appended: set[int] = set()
         append_cand = [
             b
@@ -243,7 +247,17 @@ class NDDPipeline:
         )
 
     def pages_table(self) -> DataFrame:
-        return self.catalog.read("pages")
+        """The pages VIEW: physical rows minus the ``page_tombstones``
+        merge-on-read sidecar (explicit deletes/updates commit url
+        tombstones instead of rewriting buckets — see ``delete_pages``).
+        Every consumer must read through this, never ``catalog.read``
+        raw — the same contract as ``clusters_view``/``stage_view``."""
+        return pages_view(self.catalog)
+
+    def signatures_table(self) -> DataFrame:
+        """The signatures VIEW (same ``page_tombstones`` governance as
+        ``pages_table`` — the two tables are written in lockstep)."""
+        return signatures_view(self.catalog)
 
     # ---------- stage 1 ----------
 
@@ -319,7 +333,7 @@ class NDDPipeline:
                 )
             )
             new_docs = cand_pages.join(
-                cat.read("signatures")
+                self.signatures_table()
                 .where(F.col("bucket").isin([int(b) for b in append_cand]))
                 .select("url"),
                 "url",
@@ -357,7 +371,7 @@ class NDDPipeline:
                     )
                 )
                 cat.write(
-                    new_sigs,
+                    self._stamp_era(new_sigs),
                     "signatures",
                     partition_by=["bucket"],
                     mode="append",
@@ -383,15 +397,17 @@ class NDDPipeline:
             # input partitions are bucket-pure (stage 0), so this partitioned
             # write emits one file per task, no fan-out
             cat.write(
-                sigs, "signatures", partition_by=["bucket"],
+                self._stamp_era(sigs), "signatures", partition_by=["bucket"],
                 max_records_per_file=2048,
             )
         wall_ms = int((time.monotonic() - t0) * 1000)
-        counts = cat.bucket_counts("signatures")
+        # LIVE rows per bucket = the pages stats (one signature per live
+        # page; physical footer counts would include merge-on-read dead
+        # rows awaiting a page_tombstones fold)
         cat.mark_complete(
             "signatures",
             h,
-            {b: counts.get(b, 0) for b in pending},
+            {b: pages_stats.get(b, (0, 0))[0] for b in pending},
             wall_ms,
             # chain the consumed pages content version (reference .done
             # chaining, extract_features.py:74-88)
@@ -487,7 +503,7 @@ class NDDPipeline:
         # (LSH) and url+simhash (fallback) — shipping the 128-perm minhash
         # array through the exact-group shuffles would 5× the bytes for
         # nothing (the minhash column exists for the query path / re-banding)
-        sigs = cat.read("signatures").select("url", "fp", "bands", "simhash")
+        sigs = self.signatures_table().select("url", "fp", "bands", "simhash")
         # exact-dup star edges first; LSH sees one representative per
         # distinct content (collapses boilerplate/exact-dup bucket skew)
         exact_edges, reps = exact_groups(sigs)
@@ -623,7 +639,7 @@ class NDDPipeline:
         if not (cat.exists("seen") and cat.exists("reps") and cat.exists("pairs")):
             return False  # no prior full run to delta against
         t0 = time.monotonic()
-        sigs = cat.read("signatures").select("url", "fp", "bands", "simhash")
+        sigs = self.signatures_table().select("url", "fp", "bands", "simhash")
         # param-drift guard: delta state built under DIFFERENT stage-2
         # params must not be extended or re-committed (a param change with
         # zero appended docs would otherwise mark the stale pairs complete
@@ -2126,7 +2142,7 @@ class NDDPipeline:
         t0 = time.monotonic()
         self._set_marker("delta.inflight")
         cat.write(
-            new_rows.drop("h"),
+            self._stamp_era(new_rows.drop("h")),
             "pages",
             partition_by=["bucket"],
             mode="append",
@@ -2170,7 +2186,7 @@ class NDDPipeline:
             .localCheckpoint()
         )
         cat.write(
-            new_sigs,
+            self._stamp_era(new_sigs),
             "signatures",
             partition_by=["bucket"],
             mode="append",
@@ -2216,6 +2232,70 @@ class NDDPipeline:
             # no input snapshot needed, correctness identical
             self.stage3_clusters(resume=True)
         return self.clusters_view()
+
+    def _fold_page_tombstones(self) -> int:
+        """Physically reclaim the ``page_tombstones`` merge-on-read sidecar
+        (operators/mor.py): rewrite ONLY the buckets holding governed urls
+        — partition-pruned scans of pages and signatures with the tombstone
+        join resolved — then drop the sidecar and any bucket whose live
+        rows all died (lineage already records 0 for it). Pure physical
+        reorganization: both views are row-identical before and after, no
+        lineage row advances (the committed LIVE content never changed).
+        Bounded by the sidecar (``page_tombstone_ceiling``), never the
+        corpus. Crash protocol: ``delta.inflight`` brackets the rewrites; a
+        crash mid-fold leaves views CORRECT (rewritten rows keep their
+        original eras, so the still-present sidecar governs nothing that
+        survived) and the marker routes every delta entry to the full heal.
+        Returns the number of tombstone rows folded."""
+        import shutil as _shutil
+
+        from near_duplicate_detection_spark.operators import mor
+
+        cat, cfg = self.catalog, self.cfg
+        if not cat.exists(mor.PAGE_TOMBSTONES):
+            return 0
+        n_tomb = cat.count_rows(mor.PAGE_TOMBSTONES)
+        tomb = mor.page_tombstone_agg(cat)
+        # governed buckets from the sidecar urls: one tiny job over the
+        # single-slice LocalRelation (bucket = f(url) needs Spark's xxhash64)
+        buckets = sorted(
+            int(r["bucket"])
+            for r in tomb.withColumn("bucket", self._bucket_expr())
+            .select("bucket")
+            .distinct()
+            .collect()
+        )
+        bucket_pred = F.col("bucket").isin([int(b) for b in buckets])
+        live_rows = cat.latest_partition_stats("pages", cfg.stage1_hash())
+        self._set_marker("delta.inflight")
+        for table in ("pages", "signatures"):
+            # localCheckpoint: the overwrite replaces partitions the plan
+            # reads (the same source-break rule as every bucket rewrite)
+            live = mor.apply_tombstones(
+                cat.read(table).where(bucket_pred), tomb
+            ).localCheckpoint()
+            cat.write(
+                live,
+                table,
+                partition_by=["bucket"],
+                mode="overwrite",
+                max_records_per_file=2048,
+            )
+            for b in buckets:
+                if live_rows.get(b, (0, 0))[0] == 0:
+                    # dynamic overwrite never touches a partition with zero
+                    # output rows — drop fully-dead bucket dirs explicitly
+                    cat.drop_partition(table, b)
+        _shutil.rmtree(cat.path(mor.PAGE_TOMBSTONES), ignore_errors=True)
+        self._clear_marker("delta.inflight")
+        cat.add_metrics(
+            "pages",
+            {
+                "tombstones_folded": n_tomb,
+                "buckets_rewritten": len(buckets),
+            },
+        )
+        return n_tomb
 
     def delete_pages(
         self,
@@ -2314,33 +2394,65 @@ class NDDPipeline:
             for b, d in del_stats.items()
         }
 
-        # ---- stages 0/1: anti-join rewrite of ONLY the affected buckets,
-        # zero re-signing. Input tasks are bucket-pure (bucket-partitioned
-        # parquet + broadcast join preserves partitioning), so the dynamic
-        # partition overwrite writes one file per task without a shuffle.
+        # ---- stages 0/1: MERGE-ON-READ delete — the batch commits as ONE
+        # driver-written tombstone sidecar append (url, era) governing both
+        # bucket tables (operators/mor.py), lineage advances by checksum
+        # subtraction, and NO bucket is rewritten (the round-3 shape
+        # rewrote every affected bucket — O(corpus) write volume for a
+        # uniformly random batch; it survives below as the over-ceiling
+        # fold, the Iceberg position-delete + maintenance pattern).
+        import pandas as pd
+        import pyarrow as pa
+
+        from near_duplicate_detection_spark.operators import mor
+
         t0 = time.monotonic()
+        stored_tomb = (
+            cat.count_rows(mor.PAGE_TOMBSTONES)
+            if cat.exists(mor.PAGE_TOMBSTONES)
+            else 0
+        )
+        fold = stored_tomb + n_del > cfg.page_tombstone_ceiling
+        if fold:
+            # over the sidecar ceiling: reclaim the stored tombstones
+            # physically first (self-bracketing), then apply THIS batch
+            # copy-on-write — ceiling 0 disables merge-on-read entirely
+            self._fold_page_tombstones()
+        era = self._bump_retract_era()
         self._set_marker("delta.inflight")
-        for table in ("pages", "signatures"):
-            # checkpointed: the write overwrites partitions the plan reads
-            # (same source-break rule as the _stage2_retract relabels)
-            survivors = (
-                cat.read(table)
-                .where(bucket_pred)
-                .join(F.broadcast(u.select("url")), "url", "left_anti")
-                .localCheckpoint()
+        if fold:
+            for table in ("pages", "signatures"):
+                # checkpointed: the write overwrites partitions the plan
+                # reads (same source-break rule as the _stage2_retract fold)
+                survivors = (
+                    cat.read(table)
+                    .where(bucket_pred)
+                    .join(F.broadcast(u.select("url")), "url", "left_anti")
+                    .localCheckpoint()
+                )
+                cat.write(
+                    survivors,
+                    table,
+                    partition_by=["bucket"],
+                    mode="overwrite",
+                    max_records_per_file=2048,
+                )
+                for b, m in merged.items():
+                    if m[0] == 0:
+                        # dynamic overwrite never touches a partition with
+                        # zero output rows — drop the emptied dir explicitly
+                        cat.drop_partition(table, b)
+        else:
+            cat._append_small(
+                mor.PAGE_TOMBSTONES,
+                pd.DataFrame(
+                    {
+                        "url": sorted(r["url"] for r in u.select("url").collect()),
+                        "era": era,
+                    }
+                ),
+                pa.schema([("url", pa.string()), ("era", pa.int64())]),
             )
-            cat.write(
-                survivors,
-                table,
-                partition_by=["bucket"],
-                mode="overwrite",
-                max_records_per_file=2048,
-            )
-            for b, m in merged.items():
-                if m[0] == 0:
-                    # dynamic overwrite never touches a partition with zero
-                    # output rows — drop the emptied bucket dir explicitly
-                    cat.drop_partition(table, b)
         wall_ms = int((time.monotonic() - t0) * 1000)
         for table in ("pages", "signatures"):
             cat.mark_complete(
@@ -2354,10 +2466,13 @@ class NDDPipeline:
             "pages",
             {
                 "deleted_docs": n_del,
-                "buckets_rewritten": len(affected),
+                "buckets_rewritten": len(affected) if fold else 0,
                 "buckets_dropped": sum(
                     1 for m in merged.values() if m[0] == 0
-                ),
+                )
+                if fold
+                else 0,
+                "page_tombstone_rows": 0 if fold else n_del,
                 "wall_ms": wall_ms,
             },
         )
@@ -2518,31 +2633,81 @@ class NDDPipeline:
             .localCheckpoint()
         )
 
-        # ---- stages 0/1 commit: each affected bucket rewritten ONCE with
-        # survivors ∪ batch rows. Partition-pruned scans; bucket-pure
-        # tasks, so the dynamic overwrite writes one file per task.
+        # ---- stages 0/1 commit: MERGE-ON-READ upsert — the old rows die
+        # as ONE driver-written tombstone sidecar append (url, era) and the
+        # re-signed batch lands as new era-stamped files in its buckets
+        # (delete-then-append, the Iceberg v2 position-delete + append
+        # commit shape; rows stamped AT the tombstone era are the re-adds
+        # and survive — operators/mor.py). NO bucket is rewritten; the
+        # round-3 survivors ∪ batch rewrite survives as the over-ceiling
+        # fold. Batch partitions are bucket-pure, so both appends write one
+        # file per touched bucket.
+        import pandas as pd
+        import pyarrow as pa
+
+        from near_duplicate_detection_spark.operators import mor
+
+        stored_tomb = (
+            cat.count_rows(mor.PAGE_TOMBSTONES)
+            if cat.exists(mor.PAGE_TOMBSTONES)
+            else 0
+        )
+        fold = stored_tomb + n_upd > cfg.page_tombstone_ceiling
+        if fold:
+            # over the sidecar ceiling: reclaim stored tombstones first
+            # (self-bracketing), then apply THIS batch copy-on-write —
+            # ceiling 0 disables merge-on-read entirely
+            self._fold_page_tombstones()
+        era = self._bump_retract_era()
         self._set_marker("delta.inflight")
-        for table, fresh in (
-            ("pages", new_rows.drop("h")),
-            ("signatures", new_sigs),
-        ):
-            # checkpointed: the write overwrites partitions the plan reads.
-            # allowMissingColumns: the stored pages table keeps the input's
-            # full schema (warc_ts/html/lang ride along); the batch carries
-            # only (url, text, bucket) — extraction inputs — so its rows
-            # null-fill the passthrough columns, same as an appended batch
-            replaced = (
-                cat.read(table)
-                .where(bucket_pred)
-                .join(F.broadcast(urls), "url", "left_anti")
-                .unionByName(fresh, allowMissingColumns=True)
-                .localCheckpoint()
+        if fold:
+            for table, fresh in (
+                ("pages", self._stamp_era(new_rows.drop("h"))),
+                ("signatures", self._stamp_era(new_sigs)),
+            ):
+                # checkpointed: the write overwrites partitions the plan
+                # reads. allowMissingColumns: the stored pages table keeps
+                # the input's full schema (warc_ts/html/lang ride along);
+                # the batch carries only (url, text, bucket, era) —
+                # extraction inputs — so its rows null-fill the passthrough
+                # columns, same as an appended batch
+                replaced = (
+                    cat.read(table)
+                    .where(bucket_pred)
+                    .join(F.broadcast(urls), "url", "left_anti")
+                    .unionByName(fresh, allowMissingColumns=True)
+                    .localCheckpoint()
+                )
+                cat.write(
+                    replaced,
+                    table,
+                    partition_by=["bucket"],
+                    mode="overwrite",
+                    max_records_per_file=2048,
+                )
+        else:
+            cat._append_small(
+                mor.PAGE_TOMBSTONES,
+                pd.DataFrame(
+                    {
+                        "url": sorted(r["url"] for r in urls.collect()),
+                        "era": era,
+                    }
+                ),
+                pa.schema([("url", pa.string()), ("era", pa.int64())]),
             )
             cat.write(
-                replaced,
-                table,
+                self._stamp_era(new_rows.drop("h")),
+                "pages",
                 partition_by=["bucket"],
-                mode="overwrite",
+                mode="append",
+                max_records_per_file=2048,
+            )
+            cat.write(
+                self._stamp_era(new_sigs),
+                "signatures",
+                partition_by=["bucket"],
+                mode="append",
                 max_records_per_file=2048,
             )
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -2558,7 +2723,8 @@ class NDDPipeline:
             "pages",
             {
                 "updated_docs": n_upd,
-                "buckets_rewritten": len(affected),
+                "buckets_rewritten": len(affected) if fold else 0,
+                "page_tombstone_rows": 0 if fold else n_upd,
                 "wall_ms": wall_ms,
             },
         )
@@ -2693,6 +2859,17 @@ class NDDPipeline:
             cat.add_metrics(
                 "compaction", {"retract_patch_rows_folded": n_patch}
             )
+        if cat.exists(_mor.PAGE_TOMBSTONES):
+            # fold the merge-on-read PAGE tombstones (explicit deletes/
+            # updates commit url tombstones instead of bucket rewrites):
+            # rewrite only the governed buckets of pages/signatures with
+            # the tombstone join resolved, drop the sidecar. Readers then
+            # skip the tombstone join entirely.
+            folded = self._fold_page_tombstones()
+            out["page_tombstones"] = (1, 0)
+            cat.add_metrics(
+                "compaction", {"page_tombstone_rows_folded": folded}
+            )
         for table in ("pages", "signatures"):
             if not cat.exists(table):
                 continue
@@ -2732,6 +2909,31 @@ class AppendRefusedError(RuntimeError):
     ``run_incremental(full_snapshot)`` or a full ``run()``."""
 
 
+def pages_view(catalog: StageCatalog) -> DataFrame:
+    """The pages table with the ``page_tombstones`` merge-on-read sidecar
+    resolved (operators/mor.py): explicit deletes/updates append url
+    tombstones instead of rewriting every affected bucket, and readers drop
+    the governed rows through one broadcast join against a cached
+    LocalRelation (era semantics: a row written at or after the tombstone's
+    commit is a re-add and survives). Physical reclamation happens at the
+    ``page_tombstone_ceiling`` fold or via ``compact()``."""
+    from near_duplicate_detection_spark.operators import mor
+
+    df = catalog.read("pages")
+    tomb = mor.page_tombstone_agg(catalog)
+    return df if tomb is None else mor.apply_tombstones(df, tomb)
+
+
+def signatures_view(catalog: StageCatalog) -> DataFrame:
+    """The signatures table under the same ``page_tombstones`` governance
+    as ``pages_view`` (one row per live url each, written in lockstep)."""
+    from near_duplicate_detection_spark.operators import mor
+
+    df = catalog.read("signatures")
+    tomb = mor.page_tombstone_agg(catalog)
+    return df if tomb is None else mor.apply_tombstones(df, tomb)
+
+
 def patched_clusters(catalog: StageCatalog) -> DataFrame:
     """The committed clusters VIEW: physical rows plus the merge-on-read
     label patch.
@@ -2763,14 +2965,7 @@ def patched_clusters(catalog: StageCatalog) -> DataFrame:
     cols = ("url", "cluster_id", "is_representative")
     tomb = mor.tombstone_agg(catalog)
     if tomb is not None:
-        df = (
-            df.join(F.broadcast(tomb), "url", "left")
-            .where(
-                F.col("__tomb_era").isNull()
-                | (F.col("era") >= F.col("__tomb_era"))
-            )
-            .drop("__tomb_era")
-        )
+        df = mor.apply_tombstones(df, tomb)
     rm = mor.remap_df(catalog)
     if rm is None:
         return df.select(*cols)
@@ -2840,7 +3035,7 @@ def query_top_k(
     q_shingles = [int(s) for s in qsig["shingles"].iloc[0]]
 
     bands_df = spark.createDataFrame(q_bands, "band_id int, band_hash bigint")
-    sigs = catalog.read("signatures")
+    sigs = signatures_view(catalog)
     candidates = (
         explode_bands(sigs)
         .join(F.broadcast(bands_df), ["band_id", "band_hash"])
@@ -2849,7 +3044,7 @@ def query_top_k(
     )
     # exact verify against candidates only: recompute their shingle sets
     cand_sets = (
-        catalog.read("pages")
+        pages_view(catalog)
         .select("url", "text")
         .join(candidates, "url", "left_semi")
         .mapInPandas(shingle_sets_map_fn(cfg), SHINGLE_SET_SCHEMA)
@@ -2932,14 +3127,14 @@ def query_top_k_batch(
     )
 
     candidates = (
-        explode_bands(catalog.read("signatures"))
+        explode_bands(signatures_view(catalog))
         .join(q_bands, ["band_id", "band_hash"])
         .select("query_id", "url")
         .distinct()
     )
     # verify sets once per distinct candidate url (shared across queries)
     cand_sets = (
-        catalog.read("pages")
+        pages_view(catalog)
         .select("url", "text")
         .join(candidates.select("url").distinct(), "url", "left_semi")
         .mapInPandas(shingle_sets_map_fn(cfg), SHINGLE_SET_SCHEMA)

@@ -73,7 +73,7 @@ def main() -> None:
         exact_groups,
     )
 
-    sigs = pipe.catalog.read("signatures")
+    sigs = pipe.signatures_table()
     _edges, reps = exact_groups(sigs)
     pairs, _fl = candidate_pairs(reps, cfg)
     p = _plan_str(pairs)

@@ -23,7 +23,13 @@ def test_skew_ceilings_chain_into_stage2b_hash():
 
 def test_execution_knobs_do_not_touch_stage_hashes():
     changed = NDDConfig(
-        num_buckets=4, max_retract=1, max_remap=1, driver_cc_max=1
+        num_buckets=4,
+        max_retract=1,
+        max_remap=1,
+        driver_cc_max=1,
+        retract_patch_ceiling=1,
+        clusters_append_ceiling=1,
+        page_tombstone_ceiling=0,
     )
     assert changed.stage1_hash() == BASE.stage1_hash()
     assert changed.stage2_hash() == BASE.stage2_hash()

@@ -95,9 +95,13 @@ def test_delete_pages_matches_full_rebuild_zero_resigning(
         .toPandas()
     )
     assert _partition(clusters) == _partition(full)
-    # pages AND signatures physically dropped the rows
-    assert pipe.catalog.count_rows("pages") == N - len(DEL_IDS)
-    assert pipe.catalog.count_rows("signatures") == N - len(DEL_IDS)
+    # MERGE-ON-READ: the views dropped the rows, the physical bucket files
+    # kept them (the commit is one tombstone sidecar, zero bucket rewrites)
+    assert pipe.pages_table().count() == N - len(DEL_IDS)
+    assert pipe.signatures_table().count() == N - len(DEL_IDS)
+    assert pipe.catalog.count_rows("pages") == N
+    assert pipe.catalog.count_rows("signatures") == N
+    assert pipe.catalog.count_rows("page_tombstones") == len(DEL_IDS)
     m = pipe.catalog.read("metrics").toPandas()
     assert (
         m[(m.stage == "pages") & (m.key == "deleted_docs")].value
@@ -139,9 +143,9 @@ def test_delete_pages_then_further_deltas_compose(
 def test_delete_pages_drops_emptied_bucket(
     spark, tmp_path_factory, base_catalog
 ):
-    """Deleting every url of one bucket must drop the bucket dir from both
-    bucket-partitioned tables (dynamic overwrite never touches a partition
-    with zero output rows) and commit (0, 0) lineage for it."""
+    """Deleting every url of one bucket commits (0, 0) lineage for it and
+    empties its view; the physical dir survives the merge-on-read commit
+    and is dropped by the tombstone FOLD (compact)."""
     pipe = NDDPipeline(
         spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_er_empty")
     )
@@ -154,13 +158,16 @@ def test_delete_pages_drops_emptied_bucket(
     ]
     assert doomed  # fixture sanity
     pipe.delete_pages(doomed)
+    assert pipe.catalog.latest_partition_stats("pages", CFG.stage1_hash())[
+        1
+    ] == (0, 0)
+    assert pipe.pages_table().where(F.col("bucket") == 1).count() == 0
+    pipe.compact()  # fold reclaims the dead rows and the emptied dir
     for t in ("pages", "signatures"):
         assert not os.path.isdir(
             os.path.join(pipe.catalog.path(t), "bucket=1")
         )
-    assert pipe.catalog.latest_partition_stats("pages", CFG.stage1_hash())[
-        1
-    ] == (0, 0)
+    assert not pipe.catalog.exists("page_tombstones")
     assert pipe.catalog.count_rows("pages") == N - len(doomed)
     # and the catalog still accepts further deltas (append lands cleanly)
     clusters = pipe.append_pages(generate_pages(spark, 210, start=N))
