@@ -150,6 +150,31 @@ def test_delete_then_reappend_same_url_is_visible(
     )
 
 
+def test_delete_of_already_deleted_url_refuses(
+    spark, tmp_path_factory, base_catalog
+):
+    """The existence check reads the VIEW: a url whose physical row is
+    merge-on-read dead must not pass validation (a raw-table check would
+    match the dead row and double-subtract the lineage checksum)."""
+    from near_duplicate_detection_spark.pipeline import AppendRefusedError
+
+    pipe = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_pmor_dd")
+    )
+    pipe.delete_pages([DEL_URLS[0]])
+    stats_before = pipe.catalog.latest_partition_stats(
+        "pages", CFG.stage1_hash()
+    )
+    with pytest.raises(AppendRefusedError, match="not in the corpus"):
+        pipe.delete_pages([DEL_URLS[0]])
+    # refusal mutated nothing: lineage stats and sidecar unchanged
+    assert (
+        pipe.catalog.latest_partition_stats("pages", CFG.stage1_hash())
+        == stats_before
+    )
+    assert pipe.catalog.count_rows("page_tombstones") == 1
+
+
 def test_ceiling_zero_restores_copy_on_write(
     spark, tmp_path_factory, base_catalog
 ):
