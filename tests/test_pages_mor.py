@@ -224,6 +224,53 @@ def test_ceiling_crossing_folds_stored_tombstones(
     assert _partition(clusters) == _partition(full)
 
 
+def test_crash_after_tombstone_write_heals_to_full_rebuild(
+    spark, tmp_path_factory, monkeypatch, base_catalog
+):
+    """A kill right after the page_tombstones sidecar append (before
+    lineage advances or the stage-2 retraction runs) leaves delta.inflight
+    up: every delta entry refuses, and run_incremental on the intended
+    post-delete snapshot heals — the affected buckets are rewritten from
+    the snapshot at the current era (>= the tombstone era, so the sidecar
+    governs nothing that survives) and clusters match a from-scratch
+    rebuild on the survivors."""
+    from near_duplicate_detection_spark.lineage import StageCatalog
+    from near_duplicate_detection_spark.operators import mor
+    from near_duplicate_detection_spark.pipeline import AppendRefusedError
+
+    pipe = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_pmor_crash")
+    )
+    orig = StageCatalog._append_small
+
+    def append_then_crash(self, table, pdf, schema):
+        orig(self, table, pdf, schema)
+        if table == mor.PAGE_TOMBSTONES:
+            raise RuntimeError("simulated crash after tombstone append")
+
+    monkeypatch.setattr(StageCatalog, "_append_small", append_then_crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.delete_pages(DEL_URLS)
+    monkeypatch.setattr(StageCatalog, "_append_small", orig)
+    assert pipe._delta_suspect()
+    with pytest.raises(AppendRefusedError, match="crash marker"):
+        pipe.delete_pages(DEL_URLS)
+    survivors = generate_pages(spark, N).where(~F.col("url").isin(DEL_URLS))
+    healed = pipe.run_incremental(survivors).toPandas()
+    assert set(healed.url) == {
+        r["url"] for r in survivors.select("url").collect()
+    }
+    full = (
+        NDDPipeline(
+            spark, CFG, str(tmp_path_factory.mktemp("ndd_pmor_crash_full"))
+        )
+        .run(survivors)
+        .toPandas()
+    )
+    assert _partition(healed) == _partition(full)
+    assert not pipe._delta_suspect()
+
+
 def test_compact_folds_page_tombstones(
     spark, tmp_path_factory, base_catalog
 ):
