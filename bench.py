@@ -205,6 +205,75 @@ def _measure_incremental(
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _measure_queries(spark, cfg, base: str, n_docs: int, passes: int) -> dict:
+    """Serving-path legs over the kept catalog — reported OUTSIDE the
+    headline total. The reference is itself a query server whose per-request
+    cost is one O(N) matmul + full argsort over the whole index
+    (/root/reference/ndd/server_ndd.py:271-306); these legs measure the
+    engine's band-probe replacements:
+
+      query_batch_sec / query_batch_qps   query_top_k_batch over ~n/40
+                                          near-dup queries (perturbed corpus
+                                          texts) resolved in ONE plan — two
+                                          equi-joins, verify sets computed
+                                          once per distinct candidate
+      query_single_sec                    one ad-hoc query_top_k round trip
+                                          (the serving loop's per-request
+                                          latency, dominated by fixed plan/
+                                          job overhead at this scale)
+
+    Read-only against the catalog, so legs run against ``base`` directly
+    (no hardlink copy). Min-of-passes like every other leg.
+    """
+    from pyspark.sql import functions as F
+
+    from near_duplicate_detection_spark.pipeline import (
+        NDDPipeline,
+        query_top_k,
+        query_top_k_batch,
+    )
+    from near_duplicate_detection_spark.sources.pages import doc_tokens, generate_pages
+
+    n_queries = max(n_docs // 40, 100)
+    step = max(n_docs // n_queries, 1)
+    queries = (
+        generate_pages(spark, n_docs)
+        .where(F.pmod(F.xxhash64("url"), F.lit(step)) == 0)
+        .select(
+            F.col("url").alias("query_id"),
+            F.concat(F.col("text"), F.lit(" zzq")).alias("text"),
+        )
+    )
+    n_queries = queries.count()
+    single_text = " ".join(doc_tokens(3)[0])
+    out: dict = {"query_batch_queries": n_queries}
+    cat = NDDPipeline(spark, cfg, base).catalog
+    for key, fn in (
+        (
+            "query_batch_sec",
+            lambda: query_top_k_batch(spark, cat, cfg, queries, k=10)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        ),
+        (
+            "query_single_sec",
+            lambda: query_top_k(spark, cat, cfg, single_text, k=10).collect(),
+        ),
+    ):
+        walls = []
+        for _ in range(max(passes, 1)):
+            t0 = time.monotonic()
+            fn()
+            walls.append(time.monotonic() - t0)
+            if walls[-1] > _guard(QUERIES_GUARD_S, n_docs / 400_000):
+                break
+        out[key] = round(min(walls), 3)
+    if "query_batch_sec" in out:
+        out["query_batch_qps"] = round(n_queries / out["query_batch_sec"], 1)
+    return out
+
+
 CONTRACT_QUERIES = (
     "window_dedup_topk",
     "two_level_minmax",
@@ -267,11 +336,16 @@ def main() -> None:
     # tripped guard or a failure records WHY instead of omitting silently
     if kept:
         try:
+            serving = _measure_queries(spark, cfg, kept, n_docs, passes=passes)
+        except Exception as e:  # noqa: BLE001
+            serving = {"query_skipped": f"error: {e}"[:200]}
+        try:
             incremental = _measure_incremental(
                 spark, cfg, kept, n_docs, passes=passes
             )
         except Exception as e:  # noqa: BLE001
             incremental = {"incremental_skipped": f"error: {e}"[:200]}
+        incremental = {**serving, **incremental}
     else:
         incremental = {"incremental_skipped": "pipeline guard tripped"}
 
