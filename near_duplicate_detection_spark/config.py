@@ -59,6 +59,12 @@ class NDDConfig:
     # driver-side composition. Same Iceberg MOR-maintenance shape as
     # clusters_append_ceiling; execution strategy, excluded from hashes.
     retract_patch_ceiling: int = 1_000_000
+    # band_index (operators/serving_index.py) partition count: a single
+    # query reads ≤ lsh_bands of these directories, so P sets the pruning
+    # ratio — thousands at production scale. Derived, stamped, and
+    # validated-at-read state, so purely an execution knob: excluded from
+    # stage hashes (the index is outside the lineage system entirely).
+    band_index_partitions: int = 256
     # accumulated page_tombstones rows before a delete/update folds the
     # sidecar physically (rewrites the governed buckets of pages/signatures
     # and applies its own batch copy-on-write) instead of extending it.

@@ -2901,6 +2901,21 @@ class NDDPipeline:
             cat.add_metrics("compaction", flat)
         return out
 
+    def build_serving_index(self, partitions: int | None = None) -> None:
+        """Materialize the partition-pruned query probe index
+        (operators/serving_index.py): ``band_index`` partitioned by
+        ``xxhash64(band_hash) % cfg.band_index_partitions``, stamped against
+        the current signatures + page_tombstones state. ``query_top_k``
+        uses it only while that stamp matches — any later commit routes
+        queries back to the exact full-view probe, so this is pure derived
+        state a serving operator refreshes on their own cadence (the
+        natural point is right after ``compact()``)."""
+        from near_duplicate_detection_spark.operators.serving_index import (
+            build_band_index,
+        )
+
+        build_band_index(self.catalog, self.cfg, partitions)
+
 
 class AppendRefusedError(RuntimeError):
     """``append_pages`` could not run its O(append) plan (stale or crashed
@@ -3017,7 +3032,6 @@ def query_top_k(
     from near_duplicate_detection_spark.functions.signatures import (
         compute_signatures_batch,
     )
-    from near_duplicate_detection_spark.operators.lsh import explode_bands
 
     from near_duplicate_detection_spark.functions.signatures import (
         SHINGLE_SET_SCHEMA,
@@ -3034,14 +3048,15 @@ def query_top_k(
     ]
     q_shingles = [int(s) for s in qsig["shingles"].iloc[0]]
 
-    bands_df = spark.createDataFrame(q_bands, "band_id int, band_hash bigint")
-    sigs = signatures_view(catalog)
-    candidates = (
-        explode_bands(sigs)
-        .join(F.broadcast(bands_df), ["band_id", "band_hash"])
-        .select("url")
-        .distinct()
+    from near_duplicate_detection_spark.operators.serving_index import (
+        probe_urls,
     )
+
+    # candidate generation: partition-pruned band_index probe when a FRESH
+    # index exists (operators/serving_index.py — any commit since its build
+    # flips the source stamp and this falls back to the full signatures
+    # view), else the exact full-view band join
+    candidates = probe_urls(spark, catalog, q_bands)
     # exact verify against candidates only: recompute their shingle sets
     cand_sets = (
         pages_view(catalog)
