@@ -2891,6 +2891,16 @@ class NDDPipeline:
             cat.write(df, table, partition_by=["bucket"])
             self._clear_marker("delta.inflight")
             out[table] = (before, cat.file_count(table))
+        # a serving operator who built a band_index wants it to survive
+        # maintenance: any bucket rewrite above flipped its source stamp,
+        # so refresh it here (off the ingest path — exactly where the
+        # rebuild cost belongs). No-op when no index exists or the stamp
+        # still matches (nothing above touched signatures).
+        from near_duplicate_detection_spark.operators import serving_index as _si
+
+        if cat.exists(_si.BAND_INDEX) and _si.fresh_band_index(cat) is None:
+            self.build_serving_index()
+            out[_si.BAND_INDEX] = (0, cat.file_count(_si.BAND_INDEX))
         if out:
             flat = {
                 f"{t}_files_{w}": v[i]

@@ -180,6 +180,27 @@ def test_crash_mid_build_never_falsely_fresh(spark, built, tmp_path, monkeypatch
     shutil.rmtree(work, ignore_errors=True)
 
 
+def test_compact_refreshes_existing_index(spark, built, tmp_path):
+    import shutil
+    import subprocess
+
+    work = str(tmp_path / "cat")
+    subprocess.run(["cp", "-al", built.catalog.base_dir, work], check=True)
+    pipe = NDDPipeline(spark, CFG, work)
+    pipe.build_serving_index()
+    victim = url_of(7)
+    pipe.delete_pages(spark.createDataFrame([(victim,)], "url string"))
+    assert si.fresh_band_index(pipe.catalog) is None  # stale after commit
+    out = pipe.compact()  # folds tombstones → rewrites signatures buckets
+    assert si.BAND_INDEX in out  # compact rebuilt the index it invalidated
+    idx, _p = si.fresh_band_index(pipe.catalog)
+    assert idx is not None and idx.where(idx.url == victim).count() == 0
+    # a compact with nothing to do leaves the fresh index alone (no rebuild)
+    assert pipe.compact() == {}
+    assert si.fresh_band_index(pipe.catalog) is not None
+    shutil.rmtree(work, ignore_errors=True)
+
+
 def test_knob_excluded_from_hashes_and_resume(spark, built):
     # band_index_partitions is execution strategy: changing it must not
     # invalidate any stage hash (no resume rebuild)
