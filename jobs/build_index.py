@@ -5,7 +5,8 @@ Usage:
     spark-submit --py-files ndd.zip jobs/build_index.py \
         --pages /path/to/pages_parquet --catalog /path/to/catalog \
         [--n-synthetic 100000] [--no-resume] [--no-substring] \
-        [--incremental | --append | --update | --delete-urls PATH | --compact] \
+        [--incremental | --append | --update | --delete-urls PATH \
+         | --compact | --serving-index] \
         [--shingle-k 5] [--num-perms 128] [--bands 32] [--rows 4] \
         [--jaccard 0.6] [--buckets 64]
 
@@ -57,6 +58,12 @@ def main(argv: list[str] | None = None) -> int:
              "rewrite fragmented buckets (compact() — pure physical "
              "reorganization); no input snapshot needed",
     )
+    ap.add_argument(
+        "--serving-index", action="store_true",
+        help="build/refresh the partition-pruned band_index for "
+             "interactive query serving (build_serving_index() — derived "
+             "state, stamp-validated at read); no input snapshot needed",
+    )
     ap.add_argument("--no-substring", action="store_true")
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--num-perms", type=int, default=128)
@@ -73,12 +80,13 @@ def main(argv: list[str] | None = None) -> int:
             ("--update", args.update),
             ("--delete-urls", bool(args.delete_urls)),
             ("--compact", args.compact),
+            ("--serving-index", args.serving_index),
         )
         if on
     ]
     if len(modes) > 1:
         ap.error(f"pick one of {modes}")
-    if args.delete_urls or args.compact:
+    if args.delete_urls or args.compact or args.serving_index:
         if args.pages or args.n_synthetic:
             ap.error(f"{modes[0]} takes no input snapshot")
     elif not (args.pages or args.n_synthetic is not None):
@@ -111,6 +119,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"compacted": {
             t: list(v) for t, v in pipe.compact().items()
         }}))
+        return 0
+    if args.serving_index:
+        pipe.build_serving_index()
+        print(json.dumps({
+            "band_index_files": pipe.catalog.file_count("band_index")
+        }))
         return 0
     if args.delete_urls:
         import os
