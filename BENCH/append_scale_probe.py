@@ -49,7 +49,12 @@ def main() -> int:
         app_name="ndd-append-probe", master=f"local[{cpus}]"
     )
     prewarm_workers(spark)
-    cfg = NDDConfig()
+    # max_retract is an EXECUTION knob (broadcast-map ceiling, excluded
+    # from stage hashes): a 10% batch on a 4M corpus is 400k urls, over the
+    # 100k default — raise it here so the explicit retraction legs measure
+    # the engine's cost shape rather than the ceiling's refusal policy.
+    mr = int(os.environ.get("SPARK_GRAFT_MAX_RETRACT", "0"))
+    cfg = NDDConfig(max_retract=mr) if mr else NDDConfig()
     timings: dict[str, float] = {}
     t0 = time.monotonic()
     kept = _run_pipeline(spark, cfg, n_docs, timings, keep=True)
@@ -61,6 +66,7 @@ def main() -> int:
         "full_build_sec": round(build_sec, 3),
         "full_build_docs_per_sec": round(n_docs / build_sec, 1),
         "stages": timings,
+        **({"max_retract": mr} if mr else {}),
     }
     out.update(
         _measure_incremental(
