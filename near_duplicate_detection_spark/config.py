@@ -65,6 +65,13 @@ class NDDConfig:
     # validated-at-read state, so purely an execution knob: excluded from
     # stage hashes (the index is outside the lineage system entirely).
     band_index_partitions: int = 256
+    # serving-path candidate collection ceiling: query_top_k collects one
+    # query's candidate urls (bounded by lsh_bands × max_bucket_size via the
+    # over_ceiling contract) to turn the verify-text fetch into a
+    # `bucket IN (...)` partition-pruned read instead of a full pages scan.
+    # Above the ceiling it falls back to the unpruned semi-join, the right
+    # plan at that size. Execution strategy, excluded from stage hashes.
+    query_collect_ceiling: int = 100_000
     # accumulated page_tombstones rows before a delete/update folds the
     # sidecar physically (rewrites the governed buckets of pages/signatures
     # and applies its own batch copy-on-write) instead of extending it.

@@ -3067,12 +3067,12 @@ def query_top_k(
     # flips the source stamp and this falls back to the full signatures
     # view), else the exact full-view band join
     candidates = probe_urls(spark, catalog, q_bands)
-    # exact verify against candidates only: recompute their shingle sets
-    cand_sets = (
-        pages_view(catalog)
-        .select("url", "text")
-        .join(candidates, "url", "left_semi")
-        .mapInPandas(shingle_sets_map_fn(cfg), SHINGLE_SET_SCHEMA)
+    # exact verify against candidates only: recompute their shingle sets.
+    # The text fetch is partition-pruned (_candidate_texts) — without it
+    # this leg full-scanned pages per request, the same corpus-proportional
+    # read the band_index removes from the probe side.
+    cand_sets = _candidate_texts(spark, catalog, cfg, candidates).mapInPandas(
+        shingle_sets_map_fn(cfg), SHINGLE_SET_SCHEMA
     )
     # query shingles ride along as a one-row broadcast, not a literal array
     # expression — a long query text would otherwise bloat the plan tree
@@ -3100,6 +3100,53 @@ def query_top_k(
         .drop("rn")
         .orderBy(F.desc("jaccard"), F.asc("url"))
         .limit(k)
+    )
+
+
+def _candidate_texts(
+    spark: SparkSession, catalog: StageCatalog, cfg: NDDConfig, candidates
+) -> DataFrame:
+    """(url, text) for one query's candidate urls, read partition-pruned.
+
+    A single query's candidate set is bounded — each probed (band, hash)
+    bucket holds at most ``max_bucket_size`` urls by the ``over_ceiling``
+    contract, so |candidates| ≤ lsh_bands × max_bucket_size — small enough
+    to collect. The urls' buckets become driver-known literals: a
+    ``bucket IN (...)`` filter prunes the pages scan to at most
+    |candidates| of ``num_buckets`` directories (directory pruning, the
+    same mechanism as the band_index's ``pt IN``), and a broadcast
+    semi-join against the collected urls (a LocalRelation — no literal-list
+    plan bloat) keeps exactly the candidate rows. Above
+    ``cfg.query_collect_ceiling`` (degenerate probe output) this falls back
+    to the unpruned semi-join, the right plan at that size; the batch path
+    (``query_top_k_batch``) never uses this — its candidates are a
+    distributed table and a large batch hits every bucket anyway."""
+    full = pages_view(catalog)
+    rows = candidates.limit(cfg.query_collect_ceiling + 1).collect()
+    if len(rows) > cfg.query_collect_ceiling:
+        return full.select("url", "text").join(candidates, "url", "left_semi")
+    if not rows:
+        return full.select("url", "text").where(F.lit(False))
+    urls_df = spark.createDataFrame(
+        [(r["url"],) for r in rows], "url string"
+    )
+    # bucket = f(url) through Spark's own xxhash64 (one LocalRelation
+    # expression evaluation, no scan job) so the literals match the
+    # partition values stage 0 wrote exactly
+    buckets = sorted(
+        {
+            int(r["b"])
+            for r in urls_df.select(
+                F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets))
+                .cast("int")
+                .alias("b")
+            ).collect()
+        }
+    )
+    return (
+        full.where(F.col("bucket").isin(buckets))
+        .join(F.broadcast(urls_df), "url", "left_semi")
+        .select("url", "text")
     )
 
 

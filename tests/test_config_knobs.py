@@ -30,6 +30,7 @@ def test_execution_knobs_do_not_touch_stage_hashes():
         retract_patch_ceiling=1,
         clusters_append_ceiling=1,
         page_tombstone_ceiling=0,
+        query_collect_ceiling=0,
     )
     assert changed.stage1_hash() == BASE.stage1_hash()
     assert changed.stage2_hash() == BASE.stage2_hash()
