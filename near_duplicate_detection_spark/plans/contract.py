@@ -1310,6 +1310,161 @@ FROM documents a JOIN documents b
 # ≥200-char shared runs to find)
 
 
+def q_resize_meta(spark, sf_dir):
+    """F7: aspect-preserving resize dimension math (reference
+    ndd/extract_images.py trailer resize semantics, server_ndd.py:54-57) via
+    the real operators.multimodal.resize_meta — pure column arithmetic, no
+    decode. Dimensions are synthesized deterministically from doc_id so the
+    arithmetic is reproducible in ANSI SQL."""
+    from near_duplicate_detection_spark.operators.multimodal import resize_meta
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.struct(
+            (160 + (F.col("doc_id") * 37) % 1920).cast("int").alias("width"),
+            (120 + (F.col("doc_id") * 53) % 1080).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+    return resize_meta(media, max_side=224).select(
+        "media_id", "width", "height", "out_w", "out_h"
+    )
+
+
+# Spark round(double) is HALF_UP on the shortest decimal repr; DuckDB round
+# is half-away-from-zero — identical for these positive values, so the same
+# round(x) spells the operator's math exactly.
+SQL_RESIZE_META = """
+WITH dims AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         CAST(160 + (doc_id*37) % 1920 AS INTEGER) AS width,
+         CAST(120 + (doc_id*53) % 1080 AS INTEGER) AS height
+  FROM documents)
+SELECT media_id, width, height,
+       CAST(CASE WHEN width >= height THEN 224
+            ELSE round(width * (224.0 / greatest(width, height))) END
+            AS INTEGER) AS out_w,
+       CAST(CASE WHEN height > width THEN 224
+            ELSE round(height * (224.0 / greatest(width, height))) END
+            AS INTEGER) AS out_h
+FROM dims
+"""
+
+
+def q_normalize_text(spark, sf_dir):
+    """F11/U2: canonical text normalization (casefold + whitespace collapse,
+    functions/text.py:50-56 — the form that is shingled; graft of the
+    reference's image-to-canonical-input convert, ndd/server_ndd.py:54-57)
+    through the REAL Arrow-batched normalize_text_udf. The input is made
+    messy deterministically (case flips, tabs, pad) in both engines; on
+    ASCII input casefold == lower, so the UDF is ANSI-SQL-checkable."""
+    from near_duplicate_detection_spark.functions.text import normalize_text_udf
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("  "), F.upper("text"), F.lit("\t\t "), F.col("text"), F.lit(" ")
+    )
+    return d.select(
+        "doc_id",
+        normalize_text_udf(messy).alias("norm_text"),
+        F.length(normalize_text_udf(messy)).alias("norm_len"),
+    )
+
+
+SQL_NORMALIZE_TEXT = r"""
+WITH messy AS (
+  SELECT doc_id,
+         '  ' || upper(text) || chr(9) || chr(9) || ' ' || text || ' ' AS m
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(lower(m), '\s+', ' ', 'g')) AS norm_text,
+       length(trim(regexp_replace(lower(m), '\s+', ' ', 'g'))) AS norm_len
+FROM messy
+"""
+
+
+def q_shingle_guard(spark, sf_dir):
+    """P5: degenerate-record guard (functions/signatures.py:44-61 — a doc
+    shorter than k tokens yields ONE whole-stream shingle, an empty doc one
+    empty shingle, so every doc gets a signature; reference analog: the
+    guard on shot lists shorter than one sampling interval,
+    ndd/extract_images.py:43). Runs the REAL shingle_strings/tokenize pair
+    over constructed degenerate docs (text truncated to doc_id % 7 tokens —
+    some 0-token, some < k, some exactly k)."""
+    from pyspark.sql import types as T
+
+    from near_duplicate_detection_spark.functions.signatures import (
+        shingle_strings,
+    )
+    from near_duplicate_detection_spark.functions.text import tokenize
+
+    k = 5  # NDDConfig().shingle_k default; literal so the oracle can match
+
+    # annotation-free: module-level `from __future__ import annotations`
+    # makes local-import hints unresolvable for pandas_udf inference
+    @F.pandas_udf(T.IntegerType())
+    def n_shingles_udf(text):
+        return text.map(lambda s: len(shingle_strings(tokenize(s), k)))
+
+    d = _t(spark, sf_dir, "documents")
+    trunc = F.array_join(
+        F.slice(F.split("text", " "), 1, (F.col("doc_id") % 7).cast("int")),
+        " ",
+    )
+    return d.select(
+        "doc_id",
+        (F.col("doc_id") % 7).cast("int").alias("n_tokens"),
+        n_shingles_udf(trunc).alias("n_shingles"),
+    )
+
+
+# guard algebra: n=0 -> 1 (the empty shingle), 0<n<=k -> 1 (whole stream),
+# else n-k+1 sliding windows. Docs have >= 8 tokens (min 48 chars), so the
+# truncation to doc_id%7 in [0,6] is never clipped.
+SQL_SHINGLE_GUARD = """
+SELECT doc_id,
+       CAST(doc_id % 7 AS INTEGER) AS n_tokens,
+       CAST(CASE WHEN doc_id % 7 <= 5 THEN 1
+                 ELSE doc_id % 7 - 5 + 1 END AS INTEGER) AS n_shingles
+FROM documents
+"""
+
+
+def q_doc_validity_metrics(spark, sf_dir):
+    """P4: corrupt/empty-input classification → per-class metrics (the
+    pipeline's empty-doc metrics rows, pipeline.py stage-1 metrics; reference
+    analog: skipping videos whose feature extraction produced no shots,
+    ndd/server_ndd.py:246-261). Same constructed degenerate corpus as
+    q_shingle_guard, aggregated: every doc lands in exactly one class."""
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.col("doc_id") % 7
+    trunc = F.array_join(
+        F.slice(F.split("text", " "), 1, n_tok.cast("int")), " "
+    )
+    cls = (
+        F.when(trunc == "", "empty")
+        .when(n_tok < 5, "short")
+        .otherwise("ok")
+    )
+    return (
+        d.select(F.col("lang"), cls.alias("doc_class"))
+        .groupBy("lang", "doc_class")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SQL_DOC_VALIDITY_METRICS = """
+SELECT lang,
+       CASE WHEN doc_id % 7 = 0 THEN 'empty'
+            WHEN doc_id % 7 < 5 THEN 'short'
+            ELSE 'ok' END AS doc_class,
+       count(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1350,6 +1505,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_features_full": q_quality_features_full,
     "multimodal_frame_features": q_multimodal_frame_features,
     "substring_pairs": q_substring_pairs,
+    "resize_meta": q_resize_meta,
+    "normalize_text": q_normalize_text,
+    "shingle_guard": q_shingle_guard,
+    "doc_validity_metrics": q_doc_validity_metrics,
 }
 
 ORACLES: dict[str, str] = {
@@ -1390,4 +1549,8 @@ ORACLES: dict[str, str] = {
     "ann_lsh_topk": SQL_ANN_LSH_TOPK,
     "ann_ivf_topk": SQL_ANN_IVF_TOPK,
     "simhash_hamming_topk": SQL_SIMHASH_HAMMING_TOPK,
+    "resize_meta": SQL_RESIZE_META,
+    "normalize_text": SQL_NORMALIZE_TEXT,
+    "shingle_guard": SQL_SHINGLE_GUARD,
+    "doc_validity_metrics": SQL_DOC_VALIDITY_METRICS,
 }
