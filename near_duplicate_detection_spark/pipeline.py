@@ -837,9 +837,7 @@ class NDDPipeline:
             return 0
 
     def _bump_append_era(self) -> None:
-        era = self._append_era() + 1  # read BEFORE open("w") truncates
-        with open(self._marker_path("delta.appends"), "w") as f:
-            f.write(f"{era}\n")
+        self._write_counter("delta.appends", self._append_era() + 1)
 
     def _reset_append_era(self) -> None:
         self._clear_marker("delta.appends")
@@ -852,16 +850,46 @@ class NDDPipeline:
     # (e.g. substring_pairs across a stage-2-only rewrite) stay correctly
     # governed while freshly rebuilt rows are automatically exempt.
     def _retract_era(self) -> int:
+        """Missing file = era 0 (a catalog that never retracted). An
+        EXISTING but unparsable file is refused, never read as 0: the
+        counter is the governance clock for every MOR sidecar — silently
+        resetting it would make all future patch/tombstone entries govern
+        nothing (rows carry higher eras than the entries), i.e. deleted
+        urls would stay visible with no error anywhere. Unreachable with
+        the atomic bump below; defense against external truncation."""
         try:
             with open(self._marker_path("retract.era")) as f:
-                return int(f.read().strip() or 0)
-        except (FileNotFoundError, ValueError):
+                content = f.read().strip()
+        except FileNotFoundError:
             return 0
+        try:
+            return int(content)
+        except ValueError:
+            raise RuntimeError(
+                "retract.era counter file is corrupt — refusing to read it "
+                "as 0 (a reset clock makes stored sidecar entries govern "
+                "the wrong rows, silently). Heal: delete retract.era AND "
+                "every MOR sidecar dir (retract_patch, page_tombstones, "
+                "cluster_remap, cluster_tombstones), then full-rebuild via "
+                "run() — it re-stamps every governed table at the fresh "
+                "clock."
+            ) from None
+
+    def _write_counter(self, name: str, value: int) -> None:
+        """Atomic counter write: temp file + rename, so a crash mid-write
+        can never leave a truncated/empty counter (open('w') truncates at
+        open — a kill before the write would otherwise tear the file)."""
+        import os
+
+        path = self._marker_path(name)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{int(value)}\n")
+        os.replace(tmp, path)
 
     def _bump_retract_era(self) -> int:
         era = self._retract_era() + 1
-        with open(self._marker_path("retract.era"), "w") as f:
-            f.write(f"{era}\n")
+        self._write_counter("retract.era", era)
         return era
 
     def _stamp_era(self, df: DataFrame) -> DataFrame:
@@ -1758,6 +1786,14 @@ class NDDPipeline:
             if not (has_retract or had_tomb)
             else new_rows.count()
         )
+        # marker brackets the destructive window (first wipe → swap →
+        # mark_complete), mirroring the MOR branch above and compact():
+        # without it, a crash after the log wipe but before the rename
+        # leaves the OLD clusters table with its logs (and below, its remap
+        # sidecar) gone — the next delta would then commit "no change" /
+        # unpatched labels with no error anywhere. Marker up ⇒ every delta
+        # entry refuses and the idempotent full rebuild heals.
+        self._set_marker("delta.inflight")
         for t in self._STAGE3_LOG_TABLES:
             _shutil.rmtree(cat.path(t), ignore_errors=True)
         # the staged table was built from the VIEW, so the patch is folded
@@ -1775,6 +1811,7 @@ class NDDPipeline:
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("clusters")
         cat.mark_complete("clusters", h, {-1: n}, wall_ms)
+        self._clear_marker("delta.inflight")
         cat.add_metrics(
             "clusters",
             {

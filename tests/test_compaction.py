@@ -123,3 +123,54 @@ def test_compact_refuses_mid_flight(spark, tmp_path):
     )
     with pytest.raises(AppendRefusedError):
         pipe.compact()
+
+
+def test_crash_mid_swap_leaves_marker_and_heals(spark, tmp_path, monkeypatch):
+    """The rewrite-and-swap stage-3 delta branch (taken past the append-era
+    ceiling) wipes the log and the cluster_remap sidecar BEFORE the dir
+    rename. A crash inside that window must leave the delta.inflight marker
+    up — without it, the old clusters table survives with its patch/log
+    gone, and the next delta would commit unpatched labels or drop the
+    appended docs with no error anywhere. Marker up ⇒ every delta entry
+    refuses; the full rebuild heals to exactly the from-scratch result."""
+    import os as _os
+
+    cfg = NDDConfig(num_buckets=4, clusters_append_ceiling=0)  # always swap
+    pipe = NDDPipeline(spark, cfg, str(tmp_path / "cat"))
+    pipe.run(generate_pages(spark, 200))
+
+    real_rename = _os.rename
+
+    def crashing_rename(src, dst):
+        if dst.endswith("clusters"):
+            raise OSError("simulated crash at the clusters swap")
+        return real_rename(src, dst)
+
+    # the pipeline does a function-level `import os`, so patch the os
+    # module attribute itself (path-predicated: only the clusters swap dies)
+    monkeypatch.setattr(_os, "rename", crashing_rename)
+    with pytest.raises(OSError, match="simulated crash"):
+        pipe.append_pages(_batch(spark, 200, 240))
+    monkeypatch.undo()
+
+    assert pipe._delta_suspect()  # the marker survived the crash
+    with pytest.raises(AppendRefusedError, match="crash marker"):
+        pipe.append_pages(_batch(spark, 240, 280))
+    healed = (
+        pipe.run_incremental(generate_pages(spark, 240))
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert not pipe._delta_suspect()
+    full = (
+        NDDPipeline(spark, cfg, str(tmp_path / "full"))
+        .run(generate_pages(spark, 240))
+        .toPandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    grp = lambda pdf: {  # noqa: E731
+        frozenset(g.url) for _, g in pdf.groupby("cluster_id")
+    }
+    assert grp(healed) == grp(full)

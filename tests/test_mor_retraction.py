@@ -393,3 +393,60 @@ def test_crash_mid_mor_routes_to_full(spark, tmp_path_factory, base_catalog):
         .toPandas()
     )
     assert _partition(clusters) == _partition(full)
+
+
+def test_era_counter_write_is_atomic(spark, tmp_path_factory, base_catalog):
+    """The era bump goes through temp-file + os.replace: at no point does
+    retract.era exist truncated (open('w') on the live path would tear it
+    under a crash), and no temp file survives the bump."""
+    pipe = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_era_atomic")
+    )
+    before = pipe._retract_era()
+    real_replace = os.replace
+    observed = {}
+
+    def spying_replace(src, dst):
+        # at replace time the LIVE path still holds the old value (or is
+        # absent) — the new value has never been exposed partially
+        if dst.endswith("retract.era"):
+            observed["live_before_swap"] = (
+                open(dst).read().strip() if os.path.exists(dst) else None
+            )
+            observed["tmp_content"] = open(src).read().strip()
+        return real_replace(src, dst)
+
+    os.replace = spying_replace
+    try:
+        era = pipe._bump_retract_era()
+    finally:
+        os.replace = real_replace
+    assert era == before + 1
+    assert observed["tmp_content"] == str(era)
+    assert observed["live_before_swap"] in (None, str(before))
+    assert not os.path.exists(pipe._marker_path("retract.era") + ".tmp")
+    assert pipe._retract_era() == era
+
+
+def test_corrupt_era_counter_refuses_never_resets(
+    spark, tmp_path_factory, base_catalog
+):
+    """An existing-but-unparsable retract.era (the torn-write shape the
+    atomic bump prevents, or external truncation) must REFUSE, not read as
+    0: a reset clock makes stored tombstone/patch entries govern the wrong
+    rows with no error anywhere. Nothing may be mutated by the refused
+    call."""
+    pipe = NDDPipeline(
+        spark, CFG, _copy(base_catalog, tmp_path_factory, "ndd_era_corrupt")
+    )
+    pipe.delete_pages([url_of(11)])  # real sidecar + era state to protect
+    files_before = _table_files(
+        pipe.catalog, GOVERNED + ("pages", "signatures", "clusters")
+    )
+    with open(pipe._marker_path("retract.era"), "w") as f:
+        f.write("")  # torn write: truncated at open, never written
+    with pytest.raises(RuntimeError, match="retract.era counter"):
+        pipe.delete_pages([url_of(12)])
+    assert files_before == _table_files(
+        pipe.catalog, GOVERNED + ("pages", "signatures", "clusters")
+    )
