@@ -1431,6 +1431,46 @@ FROM documents
 """
 
 
+def q_extract_text_roundtrip(spark, sf_dir):
+    """S5/S10/F10/U2: the engine's byte-deterministic HTML→text extraction
+    (functions/text.py extract_text_udf — comment/script/style stripping,
+    tag removal, entity decode, whitespace collapse; graft of the
+    reference's deterministic per-record decode, ndd/utils.py:21-33)
+    through the REAL Arrow-batched UDF. The HTML is constructed in-engine
+    with every hazard class the extractor handles; the expected output is a
+    plain string both engines can spell, so the per-row invariant the
+    north rule demands (byte-identical extracted text per url) is itself
+    oracle-checked."""
+    from near_duplicate_detection_spark.functions.text import extract_text_udf
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            "<html><head><title>t</title>"
+            "<script type=\"text/javascript\">var hidden = 'SCRIPT-LEAK';"
+            "</script><style>.x{color:red}</style></head><body>\n<p>"
+        ),
+        F.col("text"),
+        F.lit(
+            "</p><!-- COMMENT-LEAK --><div class=\"a\">tail &amp; "
+            "&lt;entity&gt;\ttest</div>\n</body></html>"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        extract_text_udf(F.encode(html, "utf-8")).alias("extracted"),
+    )
+
+
+# expected = 't ' + text + ' tail & <entity> test' (title text survives —
+# the extractor strips only comments/script/style bodies; tags become
+# spaces; entities decode; whitespace collapses to single spaces)
+SQL_EXTRACT_TEXT_ROUNDTRIP = """
+SELECT doc_id, 't ' || text || ' tail & <entity> test' AS extracted
+FROM documents
+"""
+
+
 def q_doc_validity_metrics(spark, sf_dir):
     """P4: corrupt/empty-input classification → per-class metrics (the
     pipeline's empty-doc metrics rows, pipeline.py stage-1 metrics; reference
@@ -1462,6 +1502,55 @@ SELECT lang,
        count(*) AS n_docs
 FROM documents
 GROUP BY 1, 2
+"""
+
+
+def q_decontaminate_hits(spark, sf_dir):
+    """Train/test decontamination (operators/decontaminate.py): per-doc
+    count of distinct k-token shingles shared with a benchmark set — the
+    GPT-3-appendix-C n-gram contamination check as a broadcast semi-join.
+    The benchmark is carved deterministically out of the corpus (a 12-token
+    run from every 50th doc), so contamination is planted and the whole
+    operator chain is ANSI-SQL-checkable."""
+    from near_duplicate_detection_spark.operators.decontaminate import (
+        contamination_hits,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 7).select(
+        F.array_join(F.slice(F.split("text", " "), 3, 12), " ").alias("text")
+    )
+    return contamination_hits(
+        d.select("doc_id", "text"), bench, k=8, id_col="doc_id"
+    )
+
+
+SQL_DECONTAMINATE_HITS = """
+WITH bench AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 3, 14), ' ')
+         AS btext
+  FROM documents WHERE doc_id % 50 = 7),
+bsh AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(string_split(btext, ' ')) <= 8 THEN [btext]
+         ELSE list_transform(
+           range(1, len(string_split(btext, ' ')) - 6),
+           i -> array_to_string(
+                  list_slice(string_split(btext, ' '), i, i + 7), ' '))
+    END) AS shingle
+  FROM bench WHERE btext <> ''),
+dsh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(string_split(text, ' ')) <= 8 THEN [text]
+         ELSE list_transform(
+           range(1, len(string_split(text, ' ')) - 6),
+           i -> array_to_string(
+                  list_slice(string_split(text, ' '), i, i + 7), ' '))
+    END) AS shingle
+  FROM documents)
+SELECT doc_id, count(*) AS n_hits
+FROM dsh JOIN bsh USING (shingle)
+GROUP BY doc_id
 """
 
 
@@ -1509,6 +1598,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "normalize_text": q_normalize_text,
     "shingle_guard": q_shingle_guard,
     "doc_validity_metrics": q_doc_validity_metrics,
+    "extract_text_roundtrip": q_extract_text_roundtrip,
+    "decontaminate_hits": q_decontaminate_hits,
 }
 
 ORACLES: dict[str, str] = {
@@ -1553,4 +1644,6 @@ ORACLES: dict[str, str] = {
     "normalize_text": SQL_NORMALIZE_TEXT,
     "shingle_guard": SQL_SHINGLE_GUARD,
     "doc_validity_metrics": SQL_DOC_VALIDITY_METRICS,
+    "extract_text_roundtrip": SQL_EXTRACT_TEXT_ROUNDTRIP,
+    "decontaminate_hits": SQL_DECONTAMINATE_HITS,
 }
