@@ -98,3 +98,115 @@ def exact_dedup(
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+# ------------------------------------------------------- repetition (Gopher)
+
+
+def line_chunks(text_col: str = "text", width: int = 3) -> Column:
+    """Deterministic "lines" for line-level analytics: the whitespace tokens
+    chunked into fixed ``width``-token runs (last chunk may be short).
+
+    Web pages carry real newlines; the shared test corpus does not, so every
+    line-based operator in this engine takes an explicit lines column and the
+    driver queries synthesize it with this helper (ANSI-SQL-reproducible:
+    ``list_transform(range(...), i -> array_to_string(list_slice(...)))``).
+    JVM-side: split → sequence → transform/slice/array_join, no UDF.
+    """
+    return chunk_lines(F.split(F.col(text_col), " "), width)
+
+
+def chunk_lines(toks: Column, width: int = 3) -> Column:
+    """``line_chunks`` over an existing token-array column."""
+    n_lines = F.ceil(F.size(toks) / F.lit(width)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(n_lines - 1, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i * width + 1, width), " "),
+    )
+
+
+def repetition_signals(lines_col: Column) -> list[Column]:
+    """Gopher-style per-doc repetition features over a lines array
+    (Rae et al. 2021 §A1.1: duplicate-line fraction and duplicate-line
+    CHARACTER fraction — the two intra-doc repetition filters).
+
+    Pure higher-order column expressions (aggregate/array_distinct), so the
+    whole computation is JVM-side per row with no shuffle and no UDF:
+
+    - ``dup_line_frac``: lines beyond the first occurrence of their value,
+      over total lines ((n - n_distinct) / n).
+    - ``dup_line_char_frac``: characters in those repeat occurrences over
+      total line characters ((chars - distinct_chars) / chars; 0 when the
+      doc has no line characters at all).
+    """
+    n = F.size(lines_col)
+    nd = F.size(F.array_distinct(lines_col))
+    chars = F.aggregate(
+        lines_col, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    dchars = F.aggregate(
+        F.array_distinct(lines_col),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    dup_frac = F.when(n > 0, (n - nd) / n).otherwise(F.lit(0.0))
+    dup_char_frac = F.when(chars > 0, (chars - dchars) / chars).otherwise(
+        F.lit(0.0)
+    )
+    return [
+        F.round(dup_frac, 6).alias("dup_line_frac"),
+        F.round(dup_char_frac, 6).alias("dup_line_char_frac"),
+    ]
+
+
+def top_ngram_char_frac(
+    df: DataFrame, id_col: str, text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Gopher's "fraction of characters in the most common word n-gram"
+    (Rae et al. 2021 §A1.1), per document.
+
+    Plan shape for 10^12 docs: n-grams are generated map-side as an array
+    column and exploded; the count is one groupBy (doc, gram) shuffle keyed
+    by the doc id — NOT by the gram value, so a corpus-hot n-gram ("of the")
+    never concentrates on one reducer; every shuffle key carries the doc id.
+    The per-doc argmax is a window over the same (already co-located) key.
+    Tiebreak is total order (count desc, gram asc) so the result is
+    deterministic and ANSI-SQL-reproducible.
+
+    Returns (id, top_ngram, top_ngram_count, top_ngram_char_frac) — one row
+    per doc that has at least one n-gram (docs shorter than n tokens drop).
+    """
+    toks = F.split(F.col(text_col), " ")
+    m = F.size(toks) - (n - 1)  # number of n-grams (may be <= 0)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # Spark's sequence(1, 0) DESCENDS — guard short docs to an empty array
+    grams = F.when(m >= 1, grams).otherwise(F.slice(grams, 1, 0))
+    exploded = df.select(
+        F.col(id_col),
+        F.length(text_col).alias("_doc_chars"),
+        F.explode(grams).alias("gram"),
+    )
+    counts = exploded.groupBy(id_col, "_doc_chars", "gram").agg(
+        F.count("*").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("gram").alias("top_ngram"),
+            F.col("cnt").alias("top_ngram_count"),
+            F.round(
+                F.col("cnt")
+                * F.length("gram")
+                / F.greatest(F.col("_doc_chars"), F.lit(1)),
+                6,
+            ).alias("top_ngram_char_frac"),
+        )
+    )

@@ -1554,6 +1554,246 @@ GROUP BY doc_id
 """
 
 
+def q_repetition_signals(spark, sf_dir):
+    """Gopher intra-doc repetition filters (Rae et al. 2021 §A1.1) over the
+    engine's real higher-order-function implementation
+    (functions/textstats.py repetition_signals): duplicate-line fraction and
+    duplicate-line character fraction. The corpus has no newlines, so lines
+    are deterministic 3-token chunks and duplication is PLANTED: each doc's
+    tokens are truncated to a multiple of 3 and its first 6 tokens appended
+    again, so its first two lines recur exactly once each (reference analog:
+    repeated frames within one video, ndd/server_ndd.py:127-141)."""
+    from near_duplicate_detection_spark.functions.textstats import (
+        chunk_lines,
+        repetition_signals,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n3 = (F.size(toks) / 3).cast("int") * 3
+    planted = F.concat(F.slice(toks, 1, n3), F.slice(toks, 1, 6))
+    return d.select(
+        "doc_id", *repetition_signals(chunk_lines(planted, 3))
+    )
+
+
+SQL_REPETITION_SIGNALS = """
+WITH p AS (
+  SELECT doc_id,
+         list_concat(
+           list_slice(string_split(text, ' '), 1,
+                      (len(string_split(text, ' ')) // 3) * 3),
+           list_slice(string_split(text, ' '), 1, 6)) AS arr
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest(CAST(ceil(len(arr) / 3.0) AS BIGINT), 1)),
+           i -> array_to_string(list_slice(arr, i * 3 + 1, i * 3 + 3), ' '))
+         AS lines
+  FROM p),
+m AS (
+  SELECT doc_id, len(lines) AS n, len(list_distinct(lines)) AS nd,
+         list_sum(list_transform(lines, x -> length(x))) AS chars,
+         list_sum(list_transform(list_distinct(lines), x -> length(x)))
+           AS dchars
+  FROM l)
+SELECT doc_id,
+       round(CASE WHEN n > 0 THEN (n - nd) * 1.0 / n ELSE 0 END, 6)
+         AS dup_line_frac,
+       round(CASE WHEN chars > 0 THEN (chars - dchars) * 1.0 / chars
+             ELSE 0 END, 6) AS dup_line_char_frac
+FROM m
+"""
+
+
+def q_top_ngram_frac(spark, sf_dir):
+    """Gopher top-n-gram character fraction (Rae et al. 2021 §A1.1) via the
+    distributed operator (functions/textstats.py top_ngram_char_frac):
+    grams explode map-side, the count shuffles on (doc, gram) — never on
+    the gram alone, so corpus-hot grams cannot skew a reducer — and the
+    per-doc argmax is a window with a total-order tiebreak."""
+    from near_duplicate_detection_spark.functions.textstats import (
+        top_ngram_char_frac,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return top_ngram_char_frac(d, "doc_id", "text", n=2)
+
+
+SQL_TOP_NGRAM_FRAC = """
+WITH t AS (
+  SELECT doc_id, length(text) AS doc_chars,
+         string_split(text, ' ') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, doc_chars,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - 1, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS gram
+  FROM t),
+c AS (
+  SELECT doc_id, doc_chars, gram, count(*) AS cnt
+  FROM g GROUP BY 1, 2, 3),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cnt DESC, gram ASC) AS rn
+  FROM c)
+SELECT doc_id, gram AS top_ngram, cnt AS top_ngram_count,
+       round(cnt * length(gram) * 1.0 / greatest(doc_chars, 1), 6)
+         AS top_ngram_char_frac
+FROM r WHERE rn = 1
+"""
+
+
+def q_url_canonical_host(spark, sf_dir):
+    """URL canonicalization (functions/url.py) — the web-corpus analog of
+    the reference's videoid identity key (ndd/server_ndd.py:127-141): a
+    deterministic url is synthesized per doc (mixed-case scheme/host,
+    default and non-default ports, tracking params in every position,
+    fragments), then canonicalized entirely with RE2-compatible
+    regexp_replace chains (JVM codegen, no UDF). Covers: case folding
+    limited to scheme+authority, scheme-AWARE default-port dropping
+    (http:443 must survive), utm/fbclid stripping with '?' repair, and
+    fragment removal."""
+    from near_duplicate_detection_spark.functions.url import (
+        canonicalize_url,
+        registered_domain,
+        url_host,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    scheme = (
+        F.when(i % 3 == 0, "http").when(i % 3 == 1, "HTTPS").otherwise("https")
+    )
+    host = F.concat(F.lit("WWW.News"), s(i % 17), F.lit(".Example.COM"))
+    port = (
+        F.when(i % 4 == 0, ":443")
+        .when(i % 4 == 1, ":8080")
+        .when(i % 4 == 2, ":80")
+        .otherwise("")
+    )
+    path = F.concat(F.lit("/a/"), s(i), F.lit("/x"))
+    qs = (
+        F.when(i % 5 == 0, F.concat(F.lit("?utm_source=feed&id="), s(i)))
+        .when(
+            i % 5 == 1,
+            F.concat(
+                F.lit("?id="), s(i), F.lit("&utm_campaign=Spring&ref="),
+                s(i % 7),
+            ),
+        )
+        .when(i % 5 == 2, F.lit("?utm_a=1&utm_b=2"))
+        .when(i % 5 == 3, F.concat(F.lit("?id="), s(i)))
+        .otherwise("")
+    )
+    frag = F.when(i % 2 == 0, "#frag").otherwise("")
+    url = F.concat(scheme, F.lit("://"), host, port, path, qs, frag)
+    canon = canonicalize_url(url)
+    return d.select(
+        "doc_id",
+        canon.alias("canon_url"),
+        url_host(canon).alias("host"),
+        registered_domain(url_host(canon)).alias("domain"),
+    )
+
+
+SQL_URL_CANONICAL_HOST = """
+WITH u AS (
+  SELECT doc_id,
+    (CASE doc_id % 3 WHEN 0 THEN 'http' WHEN 1 THEN 'HTTPS'
+                     ELSE 'https' END)
+    || '://' || 'WWW.News' || CAST(doc_id % 17 AS VARCHAR) || '.Example.COM'
+    || (CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':8080'
+                        WHEN 2 THEN ':80' ELSE '' END)
+    || '/a/' || CAST(doc_id AS VARCHAR) || '/x'
+    || (CASE doc_id % 5
+          WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id AS VARCHAR)
+          WHEN 1 THEN '?id=' || CAST(doc_id AS VARCHAR)
+                      || '&utm_campaign=Spring&ref='
+                      || CAST(doc_id % 7 AS VARCHAR)
+          WHEN 2 THEN '?utm_a=1&utm_b=2'
+          WHEN 3 THEN '?id=' || CAST(doc_id AS VARCHAR)
+          ELSE '' END)
+    || (CASE doc_id % 2 WHEN 0 THEN '#frag' ELSE '' END) AS url
+  FROM documents),
+s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM u),
+s2 AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', 0))
+      || substr(url,
+           length(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*',
+                                 0)) + 1) AS url
+  FROM s1),
+s3 AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(url, '^(http://[^/:?]+):80([/?]|$)', '\\1\\2'),
+      '^(https://[^/:?]+):443([/?]|$)', '\\1\\2') AS url
+  FROM s2),
+s4 AS (
+  SELECT doc_id,
+    regexp_replace(url, '[?&](utm_[a-zA-Z]+|fbclid|gclid)=[^&#]*', '', 'g')
+      AS url
+  FROM s3),
+s5 AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(url, '^([^?&]*)&', '\\1?'),
+                   '[?&]+$', '') AS canon_url
+  FROM s4)
+SELECT doc_id, canon_url,
+       regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+         AS host,
+       regexp_extract(
+         regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
+         '([^.]+\\.[^.]+)$', 1) AS domain
+FROM s5
+"""
+
+
+def q_boilerplate_line_frac(spark, sf_dir):
+    """Corpus-level boilerplate-line detection (operators/line_dedup.py,
+    CCNet/RefinedWeb-style): per-doc fraction of 3-token lines that occur
+    in >= 3 distinct documents. The cross-corpus count groups on an 8-byte
+    xxhash64 of the line (map-side array_distinct first), the membership
+    test is an equi-join on the same key — the shape that survives 10^12
+    docs. Oracle joins on the line text (identical absent 64-bit hash
+    collisions)."""
+    from near_duplicate_detection_spark.functions.textstats import line_chunks
+    from near_duplicate_detection_spark.operators.line_dedup import (
+        boilerplate_line_frac,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return boilerplate_line_frac(d, "doc_id", line_chunks("text", 3), 3)
+
+
+SQL_BOILERPLATE_LINE_FRAC = """
+WITH l AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest(CAST(ceil(len(string_split(text, ' ')) / 3.0)
+                                  AS BIGINT), 1)),
+           i -> array_to_string(
+                  list_slice(string_split(text, ' '),
+                             i * 3 + 1, i * 3 + 3), ' ')) AS lines
+  FROM documents),
+occ AS (SELECT doc_id, unnest(lines) AS line FROM l),
+dd AS (SELECT DISTINCT doc_id, line FROM occ WHERE line <> ''),
+b AS (SELECT line FROM dd GROUP BY line HAVING count(*) >= 3)
+SELECT occ.doc_id, count(*) AS n_lines,
+       round(coalesce(
+         sum(CASE WHEN occ.line <> '' AND b.line IS NOT NULL
+                  THEN 1 ELSE 0 END) * 1.0
+           / nullif(sum(CASE WHEN occ.line <> '' THEN 1 ELSE 0 END), 0),
+         0), 6) AS boiler_frac
+FROM occ LEFT JOIN b ON occ.line = b.line
+GROUP BY occ.doc_id
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1600,6 +1840,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_validity_metrics": q_doc_validity_metrics,
     "extract_text_roundtrip": q_extract_text_roundtrip,
     "decontaminate_hits": q_decontaminate_hits,
+    "repetition_signals": q_repetition_signals,
+    "top_ngram_frac": q_top_ngram_frac,
+    "url_canonical_host": q_url_canonical_host,
+    "boilerplate_line_frac": q_boilerplate_line_frac,
 }
 
 ORACLES: dict[str, str] = {
@@ -1646,4 +1890,8 @@ ORACLES: dict[str, str] = {
     "doc_validity_metrics": SQL_DOC_VALIDITY_METRICS,
     "extract_text_roundtrip": SQL_EXTRACT_TEXT_ROUNDTRIP,
     "decontaminate_hits": SQL_DECONTAMINATE_HITS,
+    "repetition_signals": SQL_REPETITION_SIGNALS,
+    "top_ngram_frac": SQL_TOP_NGRAM_FRAC,
+    "url_canonical_host": SQL_URL_CANONICAL_HOST,
+    "boilerplate_line_frac": SQL_BOILERPLATE_LINE_FRAC,
 }

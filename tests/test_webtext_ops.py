@@ -1,0 +1,192 @@
+"""Webtext pipeline operators: repetition signals (Gopher), top-n-gram
+fraction, url canonicalization, corpus boilerplate-line detection."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from near_duplicate_detection_spark.functions.textstats import (
+    chunk_lines,
+    line_chunks,
+    repetition_signals,
+    top_ngram_char_frac,
+)
+from near_duplicate_detection_spark.functions.url import (
+    canonicalize_url,
+    registered_domain,
+    url_host,
+)
+from near_duplicate_detection_spark.operators.line_dedup import (
+    boilerplate_line_frac,
+    boilerplate_lines,
+)
+
+
+def _df(spark, rows, cols="doc_id long, text string"):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=[c.split()[0] for c in cols.split(",")]),
+        cols,
+    )
+
+
+# ----------------------------------------------------------- repetition
+
+
+def test_line_chunks_width_and_tail(spark):
+    df = _df(spark, [(1, "a b c d e f g")])
+    [row] = df.select(line_chunks("text", 3).alias("l")).collect()
+    assert row.l == ["a b c", "d e f", "g"]
+
+
+def test_repetition_signals_exact_fractions(spark):
+    # 4 lines, "a b c" twice: dup_line_frac = 1/4; chars 5+5+5+5 minus
+    # distinct 5+5+5 => dup_line_char_frac = 5/20
+    df = _df(spark, [(1, "a b c d e f a b c g h i")])
+    [row] = df.select(
+        *repetition_signals(line_chunks("text", 3))
+    ).collect()
+    assert row.dup_line_frac == 0.25
+    assert row.dup_line_char_frac == 0.25
+
+
+def test_repetition_signals_no_dups_and_all_dups(spark):
+    df = _df(spark, [(1, "a b c d e f"), (2, "x y x y x y x y")])
+    got = {
+        r.doc_id: r.dup_line_frac
+        for r in df.select(
+            "doc_id", *repetition_signals(line_chunks("text", 2))
+        ).collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] == 0.75  # 4 lines "x y", 3 beyond the first
+
+
+def test_top_ngram_char_frac_argmax_and_tiebreak(spark):
+    # "b c" occurs twice (others once): top gram, 2*3/len chars
+    df = _df(spark, [(1, "a b c d b c e")])
+    [row] = top_ngram_char_frac(df, "doc_id", "text", n=2).collect()
+    assert row.top_ngram == "b c"
+    assert row.top_ngram_count == 2
+    assert row.top_ngram_char_frac == round(2 * 3 / 13, 6)
+    # all grams unique -> lexicographically smallest wins (deterministic)
+    df2 = _df(spark, [(2, "z y x w")])
+    [row2] = top_ngram_char_frac(df2, "doc_id", "text", n=2).collect()
+    assert row2.top_ngram == "x w"  # min of {"z y","y x","x w"}
+
+
+def test_top_ngram_short_doc_drops(spark):
+    df = _df(spark, [(1, "only"), (2, "two words")])
+    got = top_ngram_char_frac(df, "doc_id", "text", n=2).collect()
+    assert {r.doc_id for r in got} == {2}
+
+
+def test_chunk_lines_empty_array_single_empty_line(spark):
+    df = spark.range(1).select(
+        F.array().cast("array<string>").alias("toks")
+    )
+    [row] = df.select(chunk_lines(F.col("toks"), 3).alias("l")).collect()
+    assert row.l == [""]
+
+
+# ------------------------------------------------------------------ urls
+
+
+def test_canonicalize_url_cases(spark):
+    cases = {
+        # case folding touches scheme+host only; path/query case-exact
+        "HTTP://WWW.Ex.COM/Path?Q=Abc": "http://www.ex.com/Path?Q=Abc",
+        # default ports scheme-aware
+        "https://ex.com:443/a": "https://ex.com/a",
+        "http://ex.com:80/a": "http://ex.com/a",
+        "http://ex.com:443/a": "http://ex.com:443/a",  # NOT default for http
+        "https://ex.com:8080/a": "https://ex.com:8080/a",
+        # tracking strip incl. '?' repair and dangling separators
+        "https://ex.com/a?utm_source=f&id=1": "https://ex.com/a?id=1",
+        "https://ex.com/a?id=1&utm_campaign=x": "https://ex.com/a?id=1",
+        "https://ex.com/a?utm_a=1&utm_b=2": "https://ex.com/a",
+        "https://ex.com/a?fbclid=xyz": "https://ex.com/a",
+        "https://ex.com/a?gclid=1&id=2&utm_x=3": "https://ex.com/a?id=2",
+        # fragment
+        "https://ex.com/a#sec": "https://ex.com/a",
+        "https://ex.com/a?id=1#sec": "https://ex.com/a?id=1",
+        # untouched survivor
+        "https://ex.com/a?id=1&ref=2": "https://ex.com/a?id=1&ref=2",
+    }
+    df = _df(
+        spark,
+        [(i, u) for i, u in enumerate(cases)],
+        "doc_id long, url string",
+    )
+    got = dict(
+        df.select("doc_id", canonicalize_url("url").alias("c")).collect()
+    )
+    for i, (raw, want) in enumerate(cases.items()):
+        assert got[i] == want, raw
+
+
+def test_url_host_and_domain(spark):
+    df = _df(
+        spark,
+        [(1, "https://a.b.news.example.co:8080/x?y=1")],
+        "doc_id long, url string",
+    )
+    [row] = df.select(
+        url_host("url").alias("h"),
+        registered_domain(url_host("url")).alias("d"),
+    ).collect()
+    assert row.h == "a.b.news.example.co"
+    assert row.d == "example.co"
+
+
+def test_canonicalize_is_codegen_no_udf(spark):
+    df = _df(spark, [(1, "https://EX.com/a?utm_x=1")],
+             "doc_id long, url string")
+    plan = df.select(
+        canonicalize_url("url").alias("c")
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------- boilerplate
+
+
+def test_boilerplate_lines_distinct_doc_count(spark):
+    # "nav menu" in 3 docs (doc 1 repeats it -> still counts once);
+    # "body text" in 2 docs only
+    rows = [
+        (1, "nav menu nav menu body text"),
+        (2, "nav menu body text"),
+        (3, "nav menu other words"),
+    ]
+    df = _df(spark, rows)
+    got = boilerplate_lines(df, line_chunks("text", 2), min_docs=3).collect()
+    assert [(r.line, r.n_docs) for r in got] == [("nav menu", 3)]
+
+
+def test_boilerplate_line_frac_multiplicity(spark):
+    rows = [
+        (1, "nav menu nav menu body text"),  # 3 lines, 2 boiler -> 2/3
+        (2, "nav menu body text"),
+        (3, "nav menu other words"),
+        (4, "clean words only here"),
+    ]
+    df = _df(spark, rows)
+    got = {
+        r.doc_id: (r.n_lines, r.boiler_frac)
+        for r in boilerplate_line_frac(
+            df, "doc_id", line_chunks("text", 2), 3
+        ).collect()
+    }
+    assert got[1] == (3, round(2 / 3, 6))
+    assert got[2] == (2, 0.5)
+    assert got[4] == (2, 0.0)
+
+
+def test_boilerplate_count_shuffles_on_hash_key(spark):
+    """The corpus count must key on xxhash64(line), not the raw line."""
+    df = _df(spark, [(1, "a b c d")])
+    plan = boilerplate_lines(
+        df, line_chunks("text", 2), 3
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in plan
