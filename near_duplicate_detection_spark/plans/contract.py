@@ -1794,6 +1794,121 @@ GROUP BY occ.doc_id
 """
 
 
+def q_filter_report(spark, sf_dir):
+    """The full C4/Gopher-style corpus filter chain
+    (operators/filter_chain.py) value-checked END TO END: token bounds →
+    planted Gopher repetition (docs with doc_id%10==4 get their first six
+    tokens re-appended) → corpus boilerplate share → planted benchmark
+    contamination (a 12-token run from every 50th doc, k=8 shingles) —
+    every doc lands in exactly one attribution bucket, first failing gate
+    wins (reference drop-gate analog: ndd/server_ndd.py:246-261)."""
+    from near_duplicate_detection_spark.operators.filter_chain import (
+        filter_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n3 = (F.size(toks) / 3).cast("int") * 3
+    planted = F.array_join(
+        F.concat(F.slice(toks, 1, n3), F.slice(toks, 1, 6)), " "
+    )
+    base = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 4, planted)
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    bench = base.where(F.col("doc_id") % 50 == 7).select(
+        F.array_join(F.slice(F.split("text", " "), 3, 12), " ").alias("text")
+    )
+    return filter_report(
+        base,
+        id_col="doc_id",
+        text_col="text",
+        min_tokens=20,
+        max_tokens=95,
+        max_dup_line_frac=0.1,
+        max_boiler_frac=0.2,
+        boiler_min_docs=3,
+        line_width=3,
+        benchmark=bench,
+        decontaminate_k=8,
+    )
+
+
+SQL_FILTER_REPORT = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 4 THEN
+           array_to_string(list_concat(
+             list_slice(string_split(text, ' '), 1,
+                        (len(string_split(text, ' ')) // 3) * 3),
+             list_slice(string_split(text, ' '), 1, 6)), ' ')
+         ELSE text END AS text
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, greatest(CAST(ceil(len(string_split(text, ' ')) / 3.0)
+                                  AS BIGINT), 1)),
+           i -> array_to_string(
+                  list_slice(string_split(text, ' '),
+                             i * 3 + 1, i * 3 + 3), ' ')) AS lines
+  FROM base),
+occ AS (SELECT doc_id, unnest(lines) AS line FROM l),
+dd AS (SELECT DISTINCT doc_id, line FROM occ WHERE line <> ''),
+b AS (SELECT line FROM dd GROUP BY line HAVING count(*) >= 3),
+bf AS (
+  SELECT occ.doc_id,
+         coalesce(
+           sum(CASE WHEN occ.line <> '' AND b.line IS NOT NULL
+                    THEN 1 ELSE 0 END) * 1.0
+             / nullif(sum(CASE WHEN occ.line <> '' THEN 1 ELSE 0 END), 0),
+           0) AS boiler_frac
+  FROM occ LEFT JOIN b ON occ.line = b.line
+  GROUP BY occ.doc_id),
+bench AS (
+  SELECT array_to_string(list_slice(string_split(text, ' '), 3, 14), ' ')
+         AS btext
+  FROM base WHERE doc_id % 50 = 7),
+bsh AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(string_split(btext, ' ')) <= 8 THEN [btext]
+         ELSE list_transform(
+           range(1, len(string_split(btext, ' ')) - 6),
+           i -> array_to_string(
+                  list_slice(string_split(btext, ' '), i, i + 7), ' '))
+    END) AS shingle
+  FROM bench WHERE btext <> ''),
+dsh AS (
+  SELECT DISTINCT doc_id, unnest(
+    CASE WHEN len(string_split(text, ' ')) <= 8 THEN [text]
+         ELSE list_transform(
+           range(1, len(string_split(text, ' ')) - 6),
+           i -> array_to_string(
+                  list_slice(string_split(text, ' '), i, i + 7), ' '))
+    END) AS shingle
+  FROM base),
+hits AS (SELECT DISTINCT doc_id FROM dsh JOIN bsh USING (shingle)),
+ann AS (
+  SELECT base.doc_id,
+    CASE
+      WHEN len(string_split(base.text, ' ')) < 20 THEN 'too_short'
+      WHEN len(string_split(base.text, ' ')) > 95 THEN 'too_long'
+      WHEN (len(l.lines) - len(list_distinct(l.lines))) * 1.0
+             / len(l.lines) > 0.1 THEN 'repetitive'
+      WHEN bf.boiler_frac > 0.2 THEN 'boilerplate'
+      WHEN hits.doc_id IS NOT NULL THEN 'contaminated'
+      ELSE 'kept' END AS reject_reason
+  FROM base
+  JOIN l ON base.doc_id = l.doc_id
+  JOIN bf ON base.doc_id = bf.doc_id
+  LEFT JOIN hits ON base.doc_id = hits.doc_id)
+SELECT reject_reason, count(*) AS n_docs
+FROM ann GROUP BY reject_reason
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1844,6 +1959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_ngram_frac": q_top_ngram_frac,
     "url_canonical_host": q_url_canonical_host,
     "boilerplate_line_frac": q_boilerplate_line_frac,
+    "filter_report": q_filter_report,
 }
 
 ORACLES: dict[str, str] = {
@@ -1894,4 +2010,5 @@ ORACLES: dict[str, str] = {
     "top_ngram_frac": SQL_TOP_NGRAM_FRAC,
     "url_canonical_host": SQL_URL_CANONICAL_HOST,
     "boilerplate_line_frac": SQL_BOILERPLATE_LINE_FRAC,
+    "filter_report": SQL_FILTER_REPORT,
 }

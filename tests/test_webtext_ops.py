@@ -190,3 +190,126 @@ def test_boilerplate_count_shuffles_on_hash_key(spark):
         df, line_chunks("text", 2), 3
     )._jdf.queryExecution().optimizedPlan().toString()
     assert "xxhash64" in plan
+
+
+# ---------------------------------------------------------- filter chain
+
+
+def _chain_corpus(spark):
+    # crafted so each gate fires on exactly one doc, in gate order
+    rows = [
+        (1, "a b"),                                        # too_short
+        (2, " ".join(f"w{i}" for i in range(30))),         # too_long (>25)
+        # repetitive AND too_long by tokens? no: 12 tokens, dup lines
+        (3, "x y z x y z x y z p q r"),                    # repetitive
+        # boilerplate: shares its lines with docs 5,6 (>=3 docs)
+        (4, "nav menu bar nav menu bar"),                  # repetitive? dup!
+        (5, "nav menu bar unique five six"),
+        (6, "nav menu bar other seven eight"),
+        (7, "clean one two three four five"),              # kept
+    ]
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"]),
+        "doc_id long, text string",
+    )
+
+
+def test_filter_chain_attribution_order(spark):
+    from near_duplicate_detection_spark.operators.filter_chain import (
+        filter_report,
+        annotate_reject_reason,
+    )
+
+    df = _chain_corpus(spark)
+    ann = dict(
+        annotate_reject_reason(
+            df,
+            id_col="doc_id",
+            min_tokens=3,
+            max_tokens=25,
+            max_dup_line_frac=0.4,
+            max_boiler_frac=0.4,
+            boiler_min_docs=3,
+            line_width=3,
+        )
+        .select("doc_id", "reject_reason")
+        .collect()
+    )
+    # doc 4 fails BOTH repetitive (dup "nav menu bar") and boilerplate —
+    # first gate wins
+    assert ann == {
+        1: "too_short",
+        2: "too_long",
+        3: "repetitive",
+        4: "repetitive",
+        5: "boilerplate",
+        6: "boilerplate",
+        7: "kept",
+    }
+    rep = dict(
+        filter_report(
+            df,
+            id_col="doc_id",
+            min_tokens=3,
+            max_tokens=25,
+            max_dup_line_frac=0.4,
+            max_boiler_frac=0.4,
+            boiler_min_docs=3,
+            line_width=3,
+        ).collect()
+    )
+    assert rep == {
+        "too_short": 1, "too_long": 1, "repetitive": 2,
+        "boilerplate": 2, "kept": 1,
+    }
+    assert sum(rep.values()) == df.count()
+
+
+def test_filter_chain_contamination_gate_and_kept_columns(spark):
+    from near_duplicate_detection_spark.operators.filter_chain import (
+        corpus_filter,
+        filter_report,
+    )
+    import pandas as pd
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+                (2, "one two three four five six seven eight nine ten"),
+            ],
+            columns=["doc_id", "text"],
+        ),
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        pd.DataFrame(
+            [("alpha beta gamma delta epsilon zeta eta theta",)],
+            columns=["text"],
+        )
+    )
+    kwargs = dict(
+        id_col="doc_id", min_tokens=2, max_tokens=100,
+        max_dup_line_frac=0.9, max_boiler_frac=0.9,
+        benchmark=bench, decontaminate_k=8,
+    )
+    rep = dict(filter_report(df, **kwargs).collect())
+    assert rep == {"contaminated": 1, "kept": 1}
+    kept = corpus_filter(df, **kwargs)
+    assert kept.columns == ["doc_id", "text"]
+    assert [r.doc_id for r in kept.collect()] == [2]
+
+
+def test_filter_chain_contamination_join_is_broadcast(spark):
+    from near_duplicate_detection_spark.operators.filter_chain import (
+        annotate_reject_reason,
+    )
+
+    df = _chain_corpus(spark)
+    bench = df.limit(1).select("text")
+    plan = annotate_reject_reason(
+        df, id_col="doc_id", benchmark=bench
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
