@@ -165,11 +165,13 @@ def top_ngram_char_frac(
     """Gopher's "fraction of characters in the most common word n-gram"
     (Rae et al. 2021 §A1.1), per document.
 
-    Plan shape for 10^12 docs: n-grams are generated map-side as an array
-    column and exploded; the count is one groupBy (doc, gram) shuffle keyed
-    by the doc id — NOT by the gram value, so a corpus-hot n-gram ("of the")
-    never concentrates on one reducer; every shuffle key carries the doc id.
-    The per-doc argmax is a window over the same (already co-located) key.
+    Plan shape for 10^12 docs: ONE exchange, and it ships the compact
+    pre-explode rows — the docs are hash-repartitioned by id BEFORE the
+    gram explode, and HashPartitioning(id) satisfies the clustering
+    requirement of BOTH the (id, chars, gram) count and the per-doc argmax
+    window, so the exploded gram rows (≈2× the text volume for bigrams)
+    never cross the wire at all. Keying on the doc id also means a
+    corpus-hot n-gram ("of the") cannot concentrate on one reducer.
     Tiebreak is total order (count desc, gram asc) so the result is
     deterministic and ANSI-SQL-reproducible.
 
@@ -184,7 +186,7 @@ def top_ngram_char_frac(
     )
     # Spark's sequence(1, 0) DESCENDS — guard short docs to an empty array
     grams = F.when(m >= 1, grams).otherwise(F.slice(grams, 1, 0))
-    exploded = df.select(
+    exploded = df.repartition(F.col(id_col)).select(
         F.col(id_col),
         F.length(text_col).alias("_doc_chars"),
         F.explode(grams).alias("gram"),

@@ -313,3 +313,14 @@ def test_filter_chain_contamination_join_is_broadcast(spark):
         df, id_col="doc_id", benchmark=bench
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_top_ngram_single_pre_explode_exchange(spark):
+    """The doc-id repartition BEFORE the gram explode must satisfy both the
+    count and the window downstream: exactly one Exchange, shipping
+    un-exploded rows."""
+    df = _df(spark, [(i, "a b c d e f g h") for i in range(4)])
+    plan = top_ngram_char_frac(
+        df, "doc_id", "text", n=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
