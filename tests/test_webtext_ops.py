@@ -324,3 +324,43 @@ def test_top_ngram_single_pre_explode_exchange(spark):
         df, "doc_id", "text", n=2
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_canonicalize_idempotent_and_invariant_sweep(spark):
+    """canonicalize(canonicalize(u)) == canonicalize(u) over the full
+    cartesian component sweep, plus output invariants: no fragment, no
+    tracking params, lowercase authority, no dangling separators."""
+    import itertools
+
+    schemes = ["http", "HTTP", "https", "HTTPS"]
+    hosts = ["Ex.COM", "www.ex.com", "A.b.C.example.co"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["/", "/A/b"]
+    queries = [
+        "", "?id=1", "?utm_source=x", "?utm_a=1&utm_b=2",
+        "?utm_a=1&id=2", "?id=1&gclid=z&ref=2",
+    ]
+    frags = ["", "#Sec"]
+    urls = [
+        f"{s}://{h}{p}{pa}{q}{f}"
+        for s, h, p, pa, q, f in itertools.product(
+            schemes, hosts, ports, paths, queries, frags
+        )
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"url": urls})
+    ).select(
+        "url",
+        canonicalize_url("url").alias("c1"),
+    ).select(
+        "url", "c1", canonicalize_url(F.col("c1")).alias("c2"),
+        url_host(F.col("c1")).alias("h"),
+    )
+    bad = df.where(
+        (F.col("c1") != F.col("c2"))
+        | F.col("c1").contains("#")
+        | F.col("c1").rlike(r"[?&](utm_[a-zA-Z]+|fbclid|gclid)=")
+        | F.col("c1").rlike(r"[?&]$")
+        | (F.col("h") != F.lower(F.col("h")))
+    ).collect()
+    assert bad == [], bad[:5]
