@@ -234,6 +234,57 @@ def main() -> None:
         p,
     ))
 
+    # 10. webtext-quality operators (round 4): url canonicalization is pure
+    # codegen; top-n-gram spends its ONE exchange before the gram explode;
+    # the corpus boilerplate count shuffles 8-byte line hashes, not lines
+    from near_duplicate_detection_spark.plans.contract import (
+        q_boilerplate_line_frac,
+        q_top_ngram_frac,
+        q_url_canonical_host,
+    )
+
+    p = _plan_str(q_url_canonical_host(spark, "/root/testdata/sf0.001"))
+    check("url canonicalization is JVM codegen (no Python eval)", p,
+          ["Project"], ["ArrowEvalPython", "BatchEvalPython"])
+    sections.append((
+        "URL canonicalization",
+        "The whole regexp_replace chain (case-fold authority, default "
+        "ports, tracking params, fragment) is one codegen'd Project over "
+        "the scan — zero exchanges, zero Python. The corpus-wide dedup key "
+        "costs what a column read costs.",
+        p,
+    ))
+
+    p = _plan_str(q_top_ngram_frac(spark, "/root/testdata/sf0.001"))
+    check("top-n-gram spends its single Exchange before the explode",
+          p, ["hashpartitioning(doc_id", "REPARTITION_BY_COL"])
+    simple = q_top_ngram_frac(
+        spark, "/root/testdata/sf0.001"
+    )._jdf.queryExecution().executedPlan().toString()
+    check("top-n-gram has exactly one Exchange total",
+          "ONE" if simple.count("Exchange") == 1 else "MANY", ["ONE"])
+    sections.append((
+        "Top-n-gram character fraction (Gopher)",
+        "Docs repartition by id BEFORE the gram explode; "
+        "HashPartitioning(doc_id) satisfies both the (doc, gram) count and "
+        "the per-doc argmax window, so the exploded gram rows (~2× text "
+        "volume) never cross the wire — one Exchange, shipping compact doc "
+        "rows.",
+        p,
+    ))
+
+    p = _plan_str(q_boilerplate_line_frac(spark, "/root/testdata/sf0.001"))
+    check("boilerplate count shuffles 8-byte line hashes, not line text",
+          p, ["xxhash64(line"])
+    sections.append((
+        "Corpus boilerplate-line detection",
+        "Per-doc array_distinct runs map-side before the explode; the "
+        "cross-corpus count and the membership join are keyed on "
+        "xxhash64(line) so shuffle rows carry an 8-byte key (the line text "
+        "rides only as a min() aggregate on the boilerplate side).",
+        p,
+    ))
+
     lines = ["# PLANS — physical-plan audit (generated by plans/explain_report.py)",
              ""]
     lines.append("| check | result |")
