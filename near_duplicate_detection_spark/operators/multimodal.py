@@ -177,3 +177,82 @@ def resize_meta(media: DataFrame, max_side: int = 224) -> DataFrame:
         .otherwise(F.round(h * scale).cast("int"))
         .alias("out_h"),
     )
+
+
+# ------------------------------------------------------------------ audio
+
+AUDIO_SCHEMA = (
+    "media_id string, payload binary, "
+    "meta struct<sample_rate: int, n_samples: int>"
+)
+AUDIO_WINDOWS_SCHEMA = (
+    "media_id string, window_idx int, start_ms int, "
+    "energy float, zero_crossings int"
+)
+
+
+def sample_audio_windows(
+    audio: DataFrame, window_ms: int = 500, codec=None
+) -> DataFrame:
+    """1 row → N rows: fixed-stride analysis windows over an audio column —
+    the audio face of ``sample_frames`` (reference: per-shot frame grid,
+    extract_images.py:43), completing the image/audio/video triad.
+
+    The window grid is a JVM-side ``explode(sequence(...))`` over
+    ``meta.n_samples``/``meta.sample_rate``, so the 1→N expansion is
+    codegen; only the per-window sample math runs in the Arrow batch. The
+    payload is treated as raw signed-8-bit PCM — bytes ARE samples, so the
+    raw-PCM path is fully real with no codec at all; decoding COMPRESSED
+    audio is the same optional-codec seam as the image path (pass
+    ``codec=payload_bytes -> np.int8 array``). Emits per-window energy
+    (mean |sample|) and zero-crossing counts — the classic segmentation
+    features.
+    """
+    spw = (F.col("meta.sample_rate") * window_ms / 1000).cast("int")
+    grid = audio.select(
+        "media_id",
+        "payload",
+        spw.alias("_spw"),
+        F.col("meta.sample_rate").alias("_rate"),
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(
+                    ((F.col("meta.n_samples") - 1) / spw).cast("int"),
+                    F.lit(0),
+                ),
+            )
+        ).alias("window_idx"),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            energy, zc = [], []
+            for payload, idx, spw_i in zip(
+                pdf["payload"], pdf["window_idx"], pdf["_spw"]
+            ):
+                samples = np.frombuffer(payload, dtype=np.int8)
+                if codec is not None:
+                    samples = codec(bytes(payload))
+                w = samples[idx * spw_i : (idx + 1) * spw_i].astype(np.int32)
+                if len(w):
+                    energy.append(float(np.abs(w).mean()))
+                    zc.append(int(((w[:-1] * w[1:]) < 0).sum()))
+                else:
+                    energy.append(0.0)
+                    zc.append(0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "window_idx": pdf["window_idx"].astype("int32"),
+                    "start_ms": (
+                        pdf["window_idx"] * pdf["_spw"] * 1000 // pdf["_rate"]
+                    ).astype("int32"),
+                    "energy": np.asarray(energy, dtype=np.float32),
+                    "zero_crossings": np.asarray(zc, dtype=np.int32),
+                }
+            )
+
+    return grid.mapInPandas(fn, schema=AUDIO_WINDOWS_SCHEMA)

@@ -125,3 +125,59 @@ def test_resize_meta_aspect_preserving(spark, media):
     assert out.loc["vid1", "out_h"] == 126  # 360 * 224/640
     assert out.loc["vid2", "out_h"] == 126  # 1080 * 224/1920
     assert out.loc["img1", "out_w"] == 224
+
+
+# ------------------------------------------------------------------ audio
+
+
+def _audio_df(spark):
+    from near_duplicate_detection_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+    )
+
+    rng = np.random.RandomState(7)
+    # 2 s at 1 kHz, one window short of exact; plus a sub-window clip
+    a1 = rng.randint(-128, 128, size=2000, dtype=np.int64).astype(np.int8)
+    a2 = np.array([5, -5, 5, -5], dtype=np.int8)
+    rows = [
+        ("au1", a1.tobytes(), (1000, 2000)),
+        ("au2", a2.tobytes(), (1000, 4)),
+    ]
+    pdf = pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+    return spark.createDataFrame(pdf, AUDIO_SCHEMA).localCheckpoint(), a1, a2
+
+
+def test_audio_window_grid_and_features(spark):
+    from near_duplicate_detection_spark.operators.multimodal import (
+        sample_audio_windows,
+    )
+
+    df, a1, a2 = _audio_df(spark)
+    out = sample_audio_windows(df, window_ms=500).toPandas()
+    # au1: 2000 samples / 500-sample windows -> 4; au2: 4 samples -> 1
+    per = out.groupby("media_id").size().to_dict()
+    assert per == {"au1": 4, "au2": 1}
+    w1 = out[out.media_id == "au1"].sort_values("window_idx")
+    assert list(w1.start_ms) == [0, 500, 1000, 1500]
+    # numpy oracle for each window's energy + zero crossings
+    for i, row in enumerate(w1.itertuples()):
+        w = a1[i * 500 : (i + 1) * 500].astype(np.int32)
+        assert abs(row.energy - np.abs(w).mean()) < 1e-3
+        assert row.zero_crossings == int(((w[:-1] * w[1:]) < 0).sum())
+    w2 = out[out.media_id == "au2"].iloc[0]
+    assert w2.zero_crossings == 3  # alternating signs
+
+
+def test_audio_windows_expansion_is_jvm_side(spark):
+    """The 1->N window grid must be an explode(sequence) BEFORE the Arrow
+    eval — one Python boundary, no per-window Python rows generation."""
+    from near_duplicate_detection_spark.operators.multimodal import (
+        sample_audio_windows,
+    )
+
+    df, _, _ = _audio_df(spark)
+    plan = sample_audio_windows(
+        df, window_ms=500
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "Generate explode" in plan
