@@ -1909,6 +1909,54 @@ FROM ann GROUP BY reject_reason
 """
 
 
+def q_audio_window_features(spark, sf_dir):
+    """Audio windowing through the REAL Arrow-batched operator
+    (operators/multimodal.py sample_audio_windows): per-doc synthetic raw
+    PCM whose payload is a constant byte v = 1 + doc_id%7 repeated
+    n = 100 + doc_id%50 times at 100 Hz — so every 500 ms window's mean
+    |sample| is EXACTLY v (float32 of a small int is exact), zero
+    crossings are exactly 0, and the whole window grid (count, start_ms)
+    is id arithmetic ANSI SQL can spell. The bytes genuinely flow through
+    the binary column, the JVM explode grid, and the numpy window kernel
+    (reference analog: per-shot frame grid, extract_images.py:43)."""
+    from near_duplicate_detection_spark.operators.multimodal import (
+        sample_audio_windows,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    audio = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.expr(
+            "cast(repeat(char(doc_id % 7 + 1),"
+            " cast(100 + doc_id % 50 as int)) as binary)"
+        ).alias("payload"),
+        F.struct(
+            F.lit(100).alias("sample_rate"),
+            (F.lit(100) + F.col("doc_id") % 50).cast("int").alias(
+                "n_samples"
+            ),
+        ).alias("meta"),
+    )
+    return sample_audio_windows(audio, window_ms=500)
+
+
+SQL_AUDIO_WINDOW_FEATURES = """
+WITH a AS (
+  SELECT doc_id, 100 + doc_id % 50 AS n, 1 + doc_id % 7 AS v
+  FROM documents),
+w AS (
+  SELECT doc_id, v,
+         unnest(range(0, ((n - 1) // 50) + 1)) AS window_idx
+  FROM a)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(window_idx AS INT) AS window_idx,
+       CAST(window_idx * 500 AS INT) AS start_ms,
+       CAST(v AS FLOAT) AS energy,
+       CAST(0 AS INT) AS zero_crossings
+FROM w
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1960,6 +2008,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical_host": q_url_canonical_host,
     "boilerplate_line_frac": q_boilerplate_line_frac,
     "filter_report": q_filter_report,
+    "audio_window_features": q_audio_window_features,
 }
 
 ORACLES: dict[str, str] = {
@@ -2011,4 +2060,5 @@ ORACLES: dict[str, str] = {
     "url_canonical_host": SQL_URL_CANONICAL_HOST,
     "boilerplate_line_frac": SQL_BOILERPLATE_LINE_FRAC,
     "filter_report": SQL_FILTER_REPORT,
+    "audio_window_features": SQL_AUDIO_WINDOW_FEATURES,
 }
