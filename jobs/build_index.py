@@ -37,6 +37,14 @@ def main(argv: list[str] | None = None) -> int:
              "(pure appends route through the O(append) core)",
     )
     ap.add_argument(
+        "--changed-buckets",
+        help="with --incremental: comma-separated url-hash bucket ids the "
+             "caller KNOWS contain all drift (an Iceberg snapshot diff's "
+             "changed partitions) — the control-plane scans restrict to "
+             "them; every declared bucket's full current content must be "
+             "present in --pages",
+    )
+    ap.add_argument(
         "--append", action="store_true",
         help="O(append) explicit: --pages holds ONLY the new rows "
              "(append_pages — zero corpus scans; urls must be new)",
@@ -145,7 +153,14 @@ def main(argv: list[str] | None = None) -> int:
 
             pages = generate_pages(spark, args.n_synthetic)
         if args.incremental:
-            clusters = pipe.run_incremental(pages, substring_pass=sub)
+            cb = (
+                [int(b) for b in args.changed_buckets.split(",")]
+                if args.changed_buckets
+                else None
+            )
+            clusters = pipe.run_incremental(
+                pages, substring_pass=sub, changed_buckets=cb
+            )
         elif args.append:
             clusters = pipe.append_pages(pages, substring_pass=sub)
         elif args.update:

@@ -177,6 +177,14 @@ def top_ngram_char_frac(
 
     Returns (id, top_ngram, top_ngram_count, top_ngram_char_frac) — one row
     per doc that has at least one n-gram (docs shorter than n tokens drop).
+
+    Metric note (documented deviation from Gopher): the fraction is
+    count × len(gram) / doc_chars, which double-counts characters shared by
+    OVERLAPPING occurrences ("a a a a" → bigram "a a" counts 3×3 chars over
+    7), where Gopher counts characters COVERED by the top gram. The value
+    is clamped to 1.0; thresholding behavior stays monotone either way, and
+    a covered-characters computation would need position-aware dedup at
+    ~2× the text volume in shuffle — not worth it for a filter signal.
     """
     toks = F.split(F.col(text_col), " ")
     m = F.size(toks) - (n - 1)  # number of n-grams (may be <= 0)
@@ -205,9 +213,12 @@ def top_ngram_char_frac(
             F.col("gram").alias("top_ngram"),
             F.col("cnt").alias("top_ngram_count"),
             F.round(
-                F.col("cnt")
-                * F.length("gram")
-                / F.greatest(F.col("_doc_chars"), F.lit(1)),
+                F.least(
+                    F.col("cnt")
+                    * F.length("gram")
+                    / F.greatest(F.col("_doc_chars"), F.lit(1)),
+                    F.lit(1.0),
+                ),
                 6,
             ).alias("top_ngram_char_frac"),
         )

@@ -103,11 +103,13 @@ def decontaminate(
     text_col: str = "text",
 ) -> DataFrame:
     """The corpus minus contaminated docs (>= min_hits distinct benchmark
-    shingles). A broadcast LEFT ANTI against the hit set — the hit set is
-    contamination-sized, so the corpus rows stream map-side."""
+    shingles). LEFT ANTI against the hit set, with NO forced broadcast:
+    the hit set is usually contamination-sized (AQE sees its post-agg size
+    at runtime and picks a broadcast anti-join when it fits), but a
+    benchmark that accidentally overlaps hot boilerplate makes it
+    corpus-scale — an unconditional hint would driver-OOM there instead of
+    degrading to a shuffle join."""
     hits = contamination_hits(docs, benchmark, k, id_col, text_col)
     if min_hits > 1:
         hits = hits.where(F.col("n_hits") >= min_hits)
-    return docs.join(
-        F.broadcast(hits.select(id_col)), id_col, "left_anti"
-    )
+    return docs.join(hits.select(id_col), id_col, "left_anti")

@@ -75,8 +75,13 @@ def annotate_reject_reason(
             id_col=id_col,
             text_col=text_col,
         )
+        # No explicit broadcast hint: "contamination-sized" is an
+        # assumption, not a guarantee — a benchmark that overlaps hot
+        # boilerplate can make the hit set corpus-scale, and a forced
+        # broadcast then OOMs instead of degrading. AQE sees the hit-set's
+        # actual post-agg size at runtime and broadcasts exactly when safe.
         out = out.join(
-            F.broadcast(hits.select(id_col, F.lit(True).alias("_contam"))),
+            hits.select(id_col, F.lit(True).alias("_contam")),
             id_col,
             "left",
         )

@@ -62,13 +62,26 @@ def boilerplate_line_frac(
         F.col(id_col), F.explode(lines_col).alias("line")
     ).select(
         id_col,
+        "line",
         F.xxhash64("line").alias("line_hash"),
         (F.col("line") != "").cast("int").alias("_nonempty"),
     )
+    # Join KEY stays the 8-byte hash (shuffle partitions on it), but
+    # membership is CONFIRMED by text equality against the line the
+    # boilerplate side already carries: at 10^12-doc scale (billions of
+    # distinct lines) 64-bit collisions are birthday-expected, and without
+    # the confirm a content line colliding with a boilerplate hash would be
+    # silently misflagged. Residual tolerance (documented): a collision
+    # still merges the two lines' doc counts in `boiler` (its shuffle is
+    # deliberately hash-only) and keeps min(line) as the stored text — so a
+    # colliding pair can under-flag one line, never misflag a non-matching
+    # one.
     flagged = occ.join(
-        boiler.select("line_hash", F.lit(1).alias("_is_boiler")),
+        boiler.select("line_hash", F.col("line").alias("_boiler_line")),
         "line_hash",
         "left",
+    ).withColumn(
+        "_is_boiler", (F.col("line") == F.col("_boiler_line")).cast("int")
     )
     return flagged.groupBy(id_col).agg(
         F.count("*").alias("n_lines"),

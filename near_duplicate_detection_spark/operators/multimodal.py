@@ -111,10 +111,21 @@ def sample_frames(
                 continue
             # a real video codec would seek the container to ts_ms; a still
             # image decodes once and every 'frame' is its pixel prefix —
-            # both reduce to decode(payload) + the ts tag below
+            # both reduce to decode(payload) + the ts tag below. The grid
+            # explodes BEFORE this Arrow boundary, so the same payload
+            # arrives once per frame row; memoize the decode per media_id
+            # (payload is constant per doc) so each doc decodes once per
+            # batch, not once per frame — the reference decodes each frame
+            # file once, not once per consumer (extract_features.py:53-55).
+            decoded: dict = {}
+            prefixes = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if mid not in decoded:
+                    decoded[mid] = bytes(decode(p).tobytes()[:64])
+                prefixes.append(decoded[mid])
             payloads = [
-                bytes(decode(p).tobytes()[:64]) + ts.to_bytes(4, "little")
-                for p, ts in zip(pdf["payload"], pdf["ts_ms"])
+                pre + int(ts).to_bytes(4, "little")
+                for pre, ts in zip(prefixes, pdf["ts_ms"])
             ]
             yield pd.DataFrame(
                 {
@@ -229,14 +240,28 @@ def sample_audio_windows(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # The grid explodes BEFORE this Arrow boundary, so one clip's
+            # payload arrives once per window row. Decode (frombuffer for
+            # raw PCM, the codec for compressed audio) once per media_id
+            # per batch and slice windows out of the cached sample array —
+            # never N decodes of the full payload for N windows.
+            decoded: dict = {}
             energy, zc = [], []
-            for payload, idx, spw_i in zip(
-                pdf["payload"], pdf["window_idx"], pdf["_spw"]
+            for mid, payload, idx, spw_i in zip(
+                pdf["media_id"], pdf["payload"], pdf["window_idx"], pdf["_spw"]
             ):
-                samples = np.frombuffer(payload, dtype=np.int8)
-                if codec is not None:
-                    samples = codec(bytes(payload))
-                w = samples[idx * spw_i : (idx + 1) * spw_i].astype(np.int32)
+                samples = decoded.get(mid)
+                if samples is None:
+                    samples = (
+                        codec(bytes(payload))
+                        if codec is not None
+                        else np.frombuffer(payload, dtype=np.int8)
+                    )
+                    decoded[mid] = samples
+                # slice offsets in Python ints: int32 idx*spw overflows past
+                # 2**31 samples (~13.5 h at 44.1 kHz)
+                lo = int(idx) * int(spw_i)
+                w = samples[lo : lo + int(spw_i)].astype(np.int32)
                 if len(w):
                     energy.append(float(np.abs(w).mean()))
                     zc.append(int(((w[:-1] * w[1:]) < 0).sum()))
@@ -247,8 +272,14 @@ def sample_audio_windows(
                 {
                     "media_id": pdf["media_id"],
                     "window_idx": pdf["window_idx"].astype("int32"),
+                    # widen before multiplying: window_idx*spw*1000 exceeds
+                    # int32 at ~49 s of 44.1 kHz audio (Arrow hands both
+                    # columns over as int32)
                     "start_ms": (
-                        pdf["window_idx"] * pdf["_spw"] * 1000 // pdf["_rate"]
+                        pdf["window_idx"].astype("int64")
+                        * pdf["_spw"].astype("int64")
+                        * 1000
+                        // pdf["_rate"]
                     ).astype("int32"),
                     "energy": np.asarray(energy, dtype=np.float32),
                     "zero_crossings": np.asarray(zc, dtype=np.int32),

@@ -79,11 +79,35 @@ class NDDPipeline:
         # corpus-sized edge tables. Consumed (and cleared) per call; a
         # fresh process falls back to the edge-table scan.
         self._appended_edges: DataFrame | None = None
+        # snapshot-diff seam (run_incremental(changed_buckets=...)): when a
+        # caller can ENUMERATE the drifted url-hash buckets (the Iceberg
+        # snapshot-metadata analog — changed data files → changed
+        # partitions), the inferred path's O(corpus) control-plane scans
+        # (stage-0 _input_stats, the pure-append url probe, stage-2
+        # classify_drift's full-outer join) restrict to those buckets:
+        # partition-pruned reads on the bucket-partitioned tables, a
+        # computed-bucket filter on the input/seen sides. None = infer over
+        # the whole corpus (default behavior, unchanged).
+        self._changed_buckets: frozenset[int] | None = None
 
     # ---------- stage 0 ----------
 
     def _bucket_expr(self):
         return F.pmod(F.xxhash64("url"), F.lit(self.cfg.num_buckets)).cast("int")
+
+    def _restrict_changed(self, df: DataFrame, bucket_col: str | None = None):
+        """Apply the snapshot-diff seam: filter ``df`` to the caller-declared
+        changed buckets. ``bucket_col`` names a physical bucket column (the
+        bucket-partitioned stage tables — the filter partition-prunes);
+        None derives the bucket from ``url`` (input snapshots / flat tables
+        — the filter bounds the downstream shuffle, not the scan). No-op
+        when the seam is inactive."""
+        if self._changed_buckets is None:
+            return df
+        expr = (
+            F.col(bucket_col) if bucket_col is not None else self._bucket_expr()
+        )
+        return df.where(expr.isin(sorted(self._changed_buckets)))
 
     def _input_stats(self, pages: DataFrame) -> dict[int, tuple[int, int]]:
         """Per-bucket (rows, content checksum) of an input snapshot — ONE
@@ -144,12 +168,19 @@ class NDDPipeline:
         cfg, cat = self.cfg, self.catalog
         h = cfg.stage1_hash()
         t0 = time.monotonic()
+        # snapshot-diff seam: with declared changed buckets, both the stats
+        # scan and every write below see only those buckets' rows, and
+        # undeclared buckets are trusted unchanged (never pending)
+        pages = self._restrict_changed(pages)
+        candidates = (
+            sorted(self._changed_buckets)
+            if self._changed_buckets is not None
+            else range(cfg.num_buckets)
+        )
         stats = self._input_stats(pages)
         done = cat.latest_partition_stats("pages", h) if resume else {}
         pending = sorted(
-            b
-            for b in range(cfg.num_buckets)
-            if done.get(b, None) != stats.get(b, (0, 0))
+            b for b in candidates if done.get(b, None) != stats.get(b, (0, 0))
         )
         if not pending:
             return
@@ -639,7 +670,14 @@ class NDDPipeline:
         if not (cat.exists("seen") and cat.exists("reps") and cat.exists("pairs")):
             return False  # no prior full run to delta against
         t0 = time.monotonic()
-        sigs = self.signatures_table().select("url", "fp", "bands", "simhash")
+        # snapshot-diff seam: drift can only live in the declared buckets,
+        # so BOTH sides of classify_drift's full-outer join restrict to
+        # them — the signatures side partition-prunes (bucket-partitioned),
+        # the flat `seen` side filters on the derived bucket (at Iceberg
+        # scale `seen` is a snapshot id, not a table — see stage2_pairs)
+        sigs = self._restrict_changed(
+            self.signatures_table(), "bucket"
+        ).select("url", "fp", "bands", "simhash")
         # param-drift guard: delta state built under DIFFERENT stage-2
         # params must not be extended or re-committed (a param change with
         # zero appended docs would otherwise mark the stale pairs complete
@@ -651,7 +689,9 @@ class NDDPipeline:
         # scans per run for the same crash window.)
         if cat.distinct_values("seen", "cfg_hash") != {cfg.stage2_hash()}:
             return False
-        seen = self.stage_view("seen").select("url", "fp")
+        seen = self._restrict_changed(
+            self.stage_view("seen")
+        ).select("url", "fp")
         # ONE corpus-scan job classifies all drift (append/edit/delete);
         # the checkpointed frame is drift-sized and feeds both splits
         drift = classify_drift(sigs, seen).localCheckpoint()
@@ -668,7 +708,9 @@ class NDDPipeline:
                 cat.exists("seen") and cat.exists("reps") and cat.exists("pairs")
             ):
                 return False  # retraction emptied a core table → full path
-            seen = self.stage_view("seen").select("url", "fp")
+            seen = self._restrict_changed(
+                self.stage_view("seen")
+            ).select("url", "fp")
             new_sigs = drift_new(classify_drift(sigs, seen))
         new_sigs = new_sigs.localCheckpoint()
         n_new = new_sigs.count()
@@ -1918,6 +1960,7 @@ class NDDPipeline:
         self,
         pages: DataFrame | None = None,
         substring_pass: bool = True,
+        changed_buckets=None,
     ) -> DataFrame:
         """Change-optimized build: stage 0 refreshes drifted buckets, stage
         1 signs only changed docs, stages 2 and 2b run their DELTA paths —
@@ -1939,26 +1982,52 @@ class NDDPipeline:
         corpus-table scans per run (stage-0 discovery anti-join, stage-1
         unsigned-doc anti-join, stage-2 ``classify_drift`` full-outer join)
         to ONE url-probe join; mixed drift falls back to the full
-        stage-by-stage machinery below, unchanged."""
-        if pages is not None:
-            fast = self._try_pure_append(pages, substring_pass)
-            if fast is not None:
-                return fast
-            self.stage0_ingest(pages, resume=True)
-        self.stage1_signatures(resume=True)
-        self._appended_rep_urls = None
-        self._appended_edges = None
-        if not self.stage2_pairs_delta():
-            self.stage2_pairs(resume=True)
-        if substring_pass:
-            # thread the stage-2 delta's appended rep set into 2b so it can
-            # skip the corpus×corpus discovery anti-join (verified there by
-            # footer-level row counts; None falls back to discovery)
-            if not self.stage2b_delta(new_urls=self._appended_rep_urls):
-                self.stage2b_substring(resume=True)
-        if not self.stage3_clusters_delta():
-            self.stage3_clusters(resume=True)
-        return self.clusters_view()
+        stage-by-stage machinery below, unchanged.
+
+        SNAPSHOT-DIFF SEAM: ``changed_buckets`` (iterable of bucket ids)
+        declares that ONLY those url-hash buckets can have drifted since
+        the last committed run — the information an Iceberg snapshot diff
+        yields for free (changed data files → changed partitions). Under
+        that contract the control plane restricts to the declared buckets:
+        the stage-0 stats scan and the pure-append url probe filter to
+        them (partition-pruned on the bucket-partitioned pages table), and
+        stage-2 ``classify_drift``'s full-outer join reads only their
+        signature partitions — O(changed-bucket data), not O(corpus).
+        ``pages`` may be the full snapshot or just the changed buckets'
+        complete current rows (rows hashing elsewhere are ignored); either
+        way every declared bucket's CURRENT content must be fully present.
+        A caller that declares too few buckets silently misses that drift —
+        same trust model as ``append_pages``'s caller contract. Default
+        (None) infers over the whole corpus, behavior unchanged."""
+        if changed_buckets is not None:
+            bset = frozenset(int(b) for b in changed_buckets)
+            bad = [b for b in bset if not 0 <= b < self.cfg.num_buckets]
+            if bad:
+                raise ValueError(f"changed_buckets outside range: {bad[:5]}")
+            self._changed_buckets = bset
+        try:
+            if pages is not None:
+                fast = self._try_pure_append(pages, substring_pass)
+                if fast is not None:
+                    return fast
+                self.stage0_ingest(pages, resume=True)
+            self.stage1_signatures(resume=True)
+            self._appended_rep_urls = None
+            self._appended_edges = None
+            if not self.stage2_pairs_delta():
+                self.stage2_pairs(resume=True)
+            if substring_pass:
+                # thread the stage-2 delta's appended rep set into 2b so it
+                # can skip the corpus×corpus discovery anti-join (verified
+                # there by footer-level row counts; None falls back to
+                # discovery)
+                if not self.stage2b_delta(new_urls=self._appended_rep_urls):
+                    self.stage2b_substring(resume=True)
+            if not self.stage3_clusters_delta():
+                self.stage3_clusters(resume=True)
+            return self.clusters_view()
+        finally:
+            self._changed_buckets = None
 
     def _try_pure_append(
         self, pages: DataFrame, substring_pass: bool
@@ -1992,12 +2061,16 @@ class NDDPipeline:
             return None  # first build (or param change invalidated stage 0)
         if cat.latest_partition_stats("signatures", h1) != pstats:
             return None  # signatures lag pages: stage 1 must heal first
+        # snapshot-diff seam: restrict the snapshot scan AND the corpus url
+        # probe to the declared buckets (the probe side partition-prunes on
+        # the bucket-partitioned pages table); undeclared buckets are
+        # trusted committed and skip the identity check below
         marked = (
-            pages.select("url", "text")
+            self._restrict_changed(pages.select("url", "text"))
             .withColumn("bucket", self._bucket_expr())
             .withColumn("h", F.xxhash64("url", "text"))
             .join(
-                self.pages_table()
+                self._restrict_changed(self.pages_table(), "bucket")
                 .select("url")
                 .withColumn("_old", F.lit(True)),
                 "url",
@@ -2021,7 +2094,10 @@ class NDDPipeline:
         n_new = sum(int(r["new_rows"]) for r in agg)
         if n_new == 0:
             return None  # no appended rows: no-drift or delete-only drift
-        for b in set(totals) | {b for b, s in pstats.items() if s != (0, 0)}:
+        check = set(totals) | {b for b, s in pstats.items() if s != (0, 0)}
+        if self._changed_buckets is not None:
+            check &= self._changed_buckets
+        for b in check:
             want_rows, want_cks = pstats.get(b, (0, 0))
             t = totals.get(b)
             old_rows = int(t["rows"]) - int(t["new_rows"]) if t else 0

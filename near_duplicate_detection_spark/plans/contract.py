@@ -1640,7 +1640,7 @@ r AS (
                                ORDER BY cnt DESC, gram ASC) AS rn
   FROM c)
 SELECT doc_id, gram AS top_ngram, cnt AS top_ngram_count,
-       round(cnt * length(gram) * 1.0 / greatest(doc_chars, 1), 6)
+       round(least(cnt * length(gram) * 1.0 / greatest(doc_chars, 1), 1.0), 6)
          AS top_ngram_char_frac
 FROM r WHERE rn = 1
 """
@@ -1750,6 +1750,67 @@ SELECT doc_id, canon_url,
          regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1),
          '([^.]+\\.[^.]+)$', 1) AS domain
 FROM s5
+"""
+
+
+def q_registered_domain_psl(spark, sf_dir):
+    """Public-suffix-list registrable-domain lookup (functions/url.py
+    registered_domain_psl, round-4 VERDICT next-round #3): hosts synthesized
+    per doc id cover a 2-label rule (co.uk), a deeper-vs-shorter rule
+    conflict (com.au vs act.edu.au — longest must win), the implicit '*'
+    fallback (plain .org, unknown TLD), and a host that IS a public suffix
+    (NULL). The Spark side runs the REAL operator — split/slice candidate
+    suffixes probing the bundled PSL dim through three broadcast hash
+    joins, zero shuffle — while DuckDB spells the expected registrable
+    domain independently from the same id arithmetic."""
+    from near_duplicate_detection_spark.functions.url import (
+        registered_domain_psl,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    host = (
+        F.when(i % 6 == 0, F.concat(F.lit("www.news"), s(i % 17), F.lit(".co.uk")))
+        .when(
+            i % 6 == 1,
+            F.concat(F.lit("shop"), s(i % 13), F.lit(".example.com.au")),
+        )
+        .when(
+            i % 6 == 2,
+            F.concat(F.lit("a.b.site"), s(i % 7), F.lit(".act.edu.au")),
+        )
+        .when(
+            i % 6 == 3,
+            F.concat(F.lit("deep.sub.example"), s(i % 5), F.lit(".org")),
+        )
+        .when(i % 6 == 4, F.lit("co.uk"))
+        .otherwise(F.concat(F.lit("ex"), s(i % 3), F.lit(".unknowntld")))
+    )
+    return registered_domain_psl(
+        d.select("doc_id", host.alias("host")), "host"
+    )
+
+
+SQL_REGISTERED_DOMAIN_PSL = """
+SELECT doc_id,
+  CASE doc_id % 6
+    WHEN 0 THEN 'www.news' || CAST(doc_id % 17 AS VARCHAR) || '.co.uk'
+    WHEN 1 THEN 'shop' || CAST(doc_id % 13 AS VARCHAR) || '.example.com.au'
+    WHEN 2 THEN 'a.b.site' || CAST(doc_id % 7 AS VARCHAR) || '.act.edu.au'
+    WHEN 3 THEN 'deep.sub.example' || CAST(doc_id % 5 AS VARCHAR) || '.org'
+    WHEN 4 THEN 'co.uk'
+    ELSE 'ex' || CAST(doc_id % 3 AS VARCHAR) || '.unknowntld'
+  END AS host,
+  CASE doc_id % 6
+    WHEN 0 THEN 'news' || CAST(doc_id % 17 AS VARCHAR) || '.co.uk'
+    WHEN 1 THEN 'example.com.au'
+    WHEN 2 THEN 'site' || CAST(doc_id % 7 AS VARCHAR) || '.act.edu.au'
+    WHEN 3 THEN 'example' || CAST(doc_id % 5 AS VARCHAR) || '.org'
+    WHEN 4 THEN NULL
+    ELSE 'ex' || CAST(doc_id % 3 AS VARCHAR) || '.unknowntld'
+  END AS registered_domain
+FROM documents
 """
 
 
@@ -2006,6 +2067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "top_ngram_frac": q_top_ngram_frac,
     "url_canonical_host": q_url_canonical_host,
+    "registered_domain_psl": q_registered_domain_psl,
     "boilerplate_line_frac": q_boilerplate_line_frac,
     "filter_report": q_filter_report,
     "audio_window_features": q_audio_window_features,
@@ -2058,6 +2120,7 @@ ORACLES: dict[str, str] = {
     "repetition_signals": SQL_REPETITION_SIGNALS,
     "top_ngram_frac": SQL_TOP_NGRAM_FRAC,
     "url_canonical_host": SQL_URL_CANONICAL_HOST,
+    "registered_domain_psl": SQL_REGISTERED_DOMAIN_PSL,
     "boilerplate_line_frac": SQL_BOILERPLATE_LINE_FRAC,
     "filter_report": SQL_FILTER_REPORT,
     "audio_window_features": SQL_AUDIO_WINDOW_FEATURES,

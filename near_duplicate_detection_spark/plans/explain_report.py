@@ -285,6 +285,31 @@ def main() -> None:
         p,
     ))
 
+    from near_duplicate_detection_spark.plans.contract import (
+        q_registered_domain_psl,
+    )
+
+    p = _plan_str(q_registered_domain_psl(spark, "/root/testdata/sf0.001"))
+    # formatted explain lists each node twice (tree + details): assert the
+    # join COUNT on the tree section only, the exclusions on the whole text
+    tree = p.split("\n\n")[0]
+    check("PSL domain lookup is three broadcast joins, zero shuffle",
+          "ONE" if (
+              tree.count("BroadcastHashJoin") == 3
+              and "hashpartitioning" not in p
+              and "Generate" not in p
+              and "EvalPython" not in p
+              and "MapInPandas" not in p
+          ) else "MANY", ["ONE"])
+    sections.append((
+        "Registered-domain PSL lookup",
+        "Last-k-label candidate suffixes (k=1..3) are JVM array expressions "
+        "probing the broadcast PSL dim — three map-side hash joins fused "
+        "into one codegen stage. No explode (which would triple rows into "
+        "a groupBy argmax shuffle), no Exchange, no Python eval.",
+        p,
+    ))
+
     lines = ["# PLANS — physical-plan audit (generated by plans/explain_report.py)",
              ""]
     lines.append("| check | result |")

@@ -61,6 +61,26 @@ def test_short_benchmark_item_still_findable(spark):
     assert hits == {"a": 1}
 
 
+def test_nonempty_hitset_antijoin_broadcast_at_runtime(spark):
+    """With a NON-empty (but small) hit set, AQE must still keep the
+    corpus map-side: the un-hinted anti-join converts to a broadcast hash
+    join at runtime from the hit set's actual post-agg size."""
+    bench_run = " ".join(WORDS[10:22])
+    docs = _docs(
+        spark,
+        [("hit", bench_run)]
+        + [(f"d{i}", " ".join(WORDS[i : i + 6])) for i in range(20)],
+    )
+    bench = _docs(spark, [("q", bench_run)]).select("text")
+    out = decontaminate(docs, bench, k=8)
+    assert len(out.collect()) == 20  # 'hit' dropped
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final and "LeftAnti" in final
+    assert "SortMergeJoin" not in final
+
+
 def test_min_hits_threshold(spark):
     bench_run = " ".join(WORDS[0:22])
     docs = _docs(
@@ -89,9 +109,21 @@ def test_clean_corpus_untouched_and_plan_broadcasts(spark):
         "text"
     )
     out = decontaminate(docs, bench, k=8)
-    assert out.count() == 20
+    assert len(out.collect()) == 20
+    # Round-4 ADVICE: the hit-set anti-join no longer carries a FORCED
+    # broadcast hint (a pathologically contaminated corpus would OOM).
+    # Contract now: AQE decides at runtime. Here the hit set is EMPTY, so
+    # the final adaptive plan eliminates the anti-join outright
+    # (empty-relation propagation) — the corpus must never cross a
+    # sort-merge join. Only the FINAL plan section counts: the printed
+    # string also embeds the pre-AQE "Initial Plan" which legitimately
+    # contains the static SortMergeJoin.
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan  # benchmark side broadcast
-    assert "SortMergeJoin" not in plan  # corpus never shuffle-joined
+    assert "isFinalPlan=true" in plan  # collect() finalized AQE
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    # benchmark-shingle side of contamination_hits keeps its forced
+    # broadcast (genuinely benchmark-sized): visible in the initial plan
+    assert "BroadcastHashJoin" in plan
     # the benchmark shingle set is tiny and distinct
     assert benchmark_shingles(bench, k=8).count() == 1

@@ -168,6 +168,122 @@ def test_audio_window_grid_and_features(spark):
     assert w2.zero_crossings == 3  # alternating signs
 
 
+def test_audio_long_clip_no_int32_overflow(spark):
+    """Round-4 ADVICE high: start_ms was computed in int32 (both grid
+    columns arrive as int32 from Arrow) and wrapped negative once
+    window_idx*spw*1000 crossed 2**31 — i.e. any clip past ~49 s at
+    44.1 kHz. A 60 s 44.1 kHz clip must yield start_ms 0..59500 ascending,
+    never negative, with the tail windows at exactly 59000/59500 ms."""
+    from near_duplicate_detection_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        sample_audio_windows,
+    )
+
+    rate, secs = 44100, 60
+    n = rate * secs
+    samples = np.resize(
+        np.array([7, -7, 3, -3], dtype=np.int8), n
+    )  # deterministic, cheap to build
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            [("long1", samples.tobytes(), (rate, n))],
+            columns=["media_id", "payload", "meta"],
+        ),
+        AUDIO_SCHEMA,
+    )
+    out = (
+        sample_audio_windows(df, window_ms=500)
+        .toPandas()
+        .sort_values("window_idx", ignore_index=True)
+    )
+    assert len(out) == 120  # 60 s / 500 ms
+    assert (out.start_ms >= 0).all()
+    assert list(out.start_ms) == [i * 500 for i in range(120)]
+    # the previously-overflowing region (windows >= 98, start >= 49 s)
+    assert out.start_ms.iloc[-2:].tolist() == [59000, 59500]
+    # features in the deep region still match numpy on the real slice
+    spw = rate // 2
+    w = samples[118 * spw : 119 * spw].astype(np.int32)
+    row = out.iloc[118]
+    assert abs(row.energy - np.abs(w).mean()) < 1e-3
+    assert row.zero_crossings == int(((w[:-1] * w[1:]) < 0).sum())
+
+
+def test_audio_codec_decodes_once_per_doc(spark):
+    """Round-4 VERDICT next-round #1: the grid explodes before the Arrow
+    boundary, so the same payload reaches the kernel once per window row.
+    A counting codec must be invoked once per DISTINCT media_id per batch
+    — not once per window row — and frombuffer must not run at all when a
+    codec is supplied (its work would be discarded)."""
+    import tempfile
+
+    from near_duplicate_detection_spark.operators.multimodal import (
+        AUDIO_SCHEMA,
+        sample_audio_windows,
+    )
+
+    path = tempfile.NamedTemporaryFile(
+        mode="r", suffix=".cnt", delete=False
+    ).name
+
+    def counting_codec(payload: bytes) -> np.ndarray:
+        # executor-side: append one line per invocation (local[*] shares
+        # the filesystem with the driver)
+        with open(path, "a") as f:
+            f.write("x\n")
+        return np.frombuffer(payload, dtype=np.int8)
+    rng = np.random.RandomState(3)
+    rows = [
+        (
+            f"doc{i}",
+            rng.randint(-128, 128, size=3000, dtype=np.int64)
+            .astype(np.int8)
+            .tobytes(),
+            (1000, 3000),
+        )
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "payload", "meta"]),
+        AUDIO_SCHEMA,
+    ).coalesce(1)  # one partition -> one Arrow batch stream
+    out = sample_audio_windows(df, window_ms=500, codec=counting_codec).toPandas()
+    assert len(out) == 5 * 6  # 3000 samples / 500-sample windows
+    with open(path) as f:
+        invocations = sum(1 for _ in f)
+    # one decode per distinct doc, not per window row (30)
+    assert invocations == 5
+
+
+def test_frame_codec_decodes_once_per_doc(spark, media):
+    """Image/video face of the same memo: sample_frames must decode each
+    media_id once per batch even though the ts grid fans one payload out to
+    many frame rows."""
+    import tempfile
+
+    counts_file = tempfile.NamedTemporaryFile(
+        mode="r", suffix=".cnt", delete=False
+    )
+    path = counts_file.name
+
+    def counting_codec(payload: bytes) -> np.ndarray:
+        with open(path, "a") as f:
+            f.write("x\n")
+        return _decode_stub(payload)
+
+    frames = sample_frames(media.coalesce(1), codec=counting_codec).toPandas()
+    assert len(frames) == 6  # vid1:4, vid2:1, img1:1
+    with open(path) as f:
+        invocations = sum(1 for _ in f)
+    assert invocations == 3  # one per media_id, not per frame
+    # output identical to the un-memoized stub path
+    plain = sample_frames(media, codec=_decode_stub).toPandas()
+    key = ["media_id", "frame_idx"]
+    a = frames.sort_values(key, ignore_index=True)
+    b = plain.sort_values(key, ignore_index=True)
+    assert [bytes(x) for x in a.payload] == [bytes(y) for y in b.payload]
+
+
 def test_audio_windows_expansion_is_jvm_side(spark):
     """The 1->N window grid must be an explode(sequence) BEFORE the Arrow
     eval — one Python boundary, no per-window Python rows generation."""
