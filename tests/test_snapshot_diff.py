@@ -170,6 +170,53 @@ def test_pure_append_with_seam_never_full_scans(
     assert _partition(clusters) == _partition(full)
 
 
+def test_delete_drift_restricted_matches_full(
+    spark, tmp_path_factory, monkeypatch, base_catalog
+):
+    """Delete-only drift under the seam: the snapshot drops two docs (one an
+    exact-dup rep whose rows must transfer to the surviving member). The
+    slow path's restricted scans must stay inside the declared buckets and
+    the retraction must match a from-scratch rebuild of the shrunken
+    corpus."""
+    gone = [url_of(20), url_of(11)]
+    snapshot = generate_pages(spark, N).where(~F.col("url").isin(gone))
+    changed = _buckets_of(spark, gone)
+    assert len(changed) < CFG.num_buckets
+
+    orig_stats = NDDPipeline._input_stats
+    orig_drift = delta_mod.classify_drift
+
+    def spy_stats(self, pages):
+        _assert_within(pages, changed, "_input_stats")
+        return orig_stats(self, pages)
+
+    def spy_drift(signatures, seen):
+        _assert_within(signatures, changed, "classify_drift(signatures)")
+        _assert_within(seen, changed, "classify_drift(seen)")
+        return orig_drift(signatures, seen)
+
+    monkeypatch.setattr(NDDPipeline, "_input_stats", spy_stats)
+    monkeypatch.setattr(delta_mod, "classify_drift", spy_drift)
+
+    cat_dir = _copy(base_catalog, tmp_path_factory, "ndd_sd_del")
+    pipe = NDDPipeline(spark, CFG, cat_dir)
+    clusters = pipe.run_incremental(
+        snapshot, changed_buckets=changed
+    ).toPandas()
+    assert len(clusters) == N - 2
+    assert not set(gone) & set(clusters.url)
+
+    monkeypatch.undo()
+    full = (
+        NDDPipeline(
+            spark, CFG, str(tmp_path_factory.mktemp("ndd_sd_dfull"))
+        )
+        .run(snapshot)
+        .toPandas()
+    )
+    assert _partition(clusters) == _partition(full)
+
+
 def test_changed_buckets_validation(spark, tmp_path_factory, base_catalog):
     cat_dir = _copy(base_catalog, tmp_path_factory, "ndd_sd_val")
     pipe = NDDPipeline(spark, CFG, cat_dir)
