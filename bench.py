@@ -367,9 +367,16 @@ def _serving_stream_leg(spark, cfg, cat, queries_df, out: dict):
             (r["query_id"], r["text"])
             for r in queries_df.limit(N_STREAM).collect()
         ]
+        # last drop takes the remainder so EVERY collected row is written —
+        # the reported queries/qps must count exactly what was served
         per = max(len(rows) // DROPS, 1)
+        n_drops = 0
         for i in range(DROPS):
-            chunk = rows[i * per : (i + 1) * per] or rows[:1]
+            hi = len(rows) if i == DROPS - 1 else (i + 1) * per
+            chunk = rows[i * per : hi]
+            if not chunk:
+                continue
+            n_drops += 1
             spark.createDataFrame(chunk, QUERY_SCHEMA).coalesce(
                 1
             ).write.mode("append").parquet(qdir)
@@ -395,10 +402,12 @@ def _serving_stream_leg(spark, cfg, cat, queries_df, out: dict):
             return
         wall = time.monotonic() - t0
         out["serving_stream_queries"] = len(rows)
-        out["serving_stream_batches"] = DROPS
+        out["serving_stream_batches"] = n_drops
         out["serving_stream_sec"] = round(wall, 3)
         out["serving_stream_qps"] = round(len(rows) / wall, 1)
-        out["serving_stream_batch_latency_sec"] = round(wall / DROPS, 3)
+        out["serving_stream_batch_latency_sec"] = round(
+            wall / max(n_drops, 1), 3
+        )
     except Exception as e:
         out["serving_stream"] = f"error: {e}"[:200]
     finally:

@@ -152,9 +152,19 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             pages = generate_pages(spark, args.n_synthetic)
+        if args.changed_buckets and not args.incremental:
+            # the seam only exists on the inferred path; ignoring the flag
+            # silently would let a caller believe restricted scans ran
+            print(
+                json.dumps(
+                    {"error": "--changed-buckets requires --incremental"}
+                ),
+                file=sys.stderr,
+            )
+            return 2
         if args.incremental:
             cb = (
-                [int(b) for b in args.changed_buckets.split(",")]
+                [int(b) for b in args.changed_buckets.split(",") if b.strip()]
                 if args.changed_buckets
                 else None
             )

@@ -105,11 +105,12 @@ PSL_SNAPSHOT: tuple[str, ...] = (
     "co.at", "or.at", "ac.at", "gv.at", "priv.at",
     "com.ro", "org.ro", "tm.ro", "co.hu", "org.hu", "info.hu",
     # Multi-label generic infrastructure (PRIVATE section examples kept
-    # out — this slice is ICANN rules only)
+    # Multi-label generic second-levels (PSL PRIVATE section, CentralNic —
+    # kept because corpora genuinely host distinct sites under them; a
+    # production swap-in loading only the ICANN section would group
+    # *.co.com-style hosts one label shallower than this slice does)
     "co.com", "us.com", "uk.com", "eu.com", "de.com", "jpn.com",
 )
-
-_MAX_PSL_LABELS = 3  # longest rule length in the bundled slice
 
 
 def registered_domain_psl(
@@ -126,20 +127,25 @@ def registered_domain_psl(
     (registrable = last two labels, the old approximation). A host that IS
     a public suffix ("co.uk" itself) has no registrable domain → NULL.
 
-    Plan shape at 10^12 docs — zero shuffle, zero UDF: the last-k-label
-    candidate strings (k = 1..3) are JVM array expressions over one
-    ``split``, each probes the PSL dim (~9k rows for the full list; the
-    bundled slice here) with a BROADCAST left join
-    (three map-side hash probes fused into one codegen stage), and a
-    longest-match-first CASE picks the winner. No explode (which would
-    triple the row count into a groupBy argmax shuffle), no per-row Python.
+    Plan shape at 10^12 docs — zero shuffle, zero UDF: for each DISTINCT
+    rule length k present in the suffix list (derived from the list, so a
+    full ~9k-rule PSL with 4- and 5-label rules probes those lengths too,
+    and the bundled 2/3-label slice skips a dead 1-label probe), the
+    last-k-label candidate string is a JVM array expression over one
+    ``split`` probing the PSL dim with a BROADCAST left join — all probes
+    fuse into one map-side codegen stage — and a longest-match-first CASE
+    picks the winner. No explode (which would multiply the row count into
+    a groupBy argmax shuffle), no per-row Python.
 
     Returns ``df`` with ``out_col`` appended."""
     host = F.col(host_col) if isinstance(host_col, str) else host_col
     spark = df.sparkSession
-    dim = spark.createDataFrame(
-        [(s,) for s in (suffixes or PSL_SNAPSHOT)], "suffix string"
-    )
+    rules = tuple(suffixes or PSL_SNAPSHOT)
+    # probe exactly the rule lengths the list contains — a hardcoded range
+    # would silently never match longer rules (and waste probes on absent
+    # lengths)
+    ks = sorted({r.count(".") + 1 for r in rules})
+    dim = spark.createDataFrame([(s,) for s in rules], "suffix string")
     labels = F.split(host, r"\.")
     n = F.size(labels)
 
@@ -147,7 +153,7 @@ def registered_domain_psl(
         return F.when(n >= k, F.array_join(F.slice(labels, n - k + 1, k), "."))
 
     tmp = df
-    for k in range(1, _MAX_PSL_LABELS + 1):
+    for k in ks:
         tmp = tmp.withColumn(f"__psl_s{k}", last_k(k))
         probe = dim.select(
             F.col("suffix").alias(f"__psl_s{k}"),
@@ -161,7 +167,7 @@ def registered_domain_psl(
     # domain the last k+1 labels (NULL when the host IS the suffix).
     # Built inside-out — ascending k leaves the LONGEST rule as the
     # outermost (first-evaluated) branch.
-    for k in range(1, _MAX_PSL_LABELS + 1):
+    for k in ks:
         reg = F.when(F.col(f"__psl_m{k}").isNotNull(), last_k(k + 1)).otherwise(
             reg
         )
@@ -170,11 +176,9 @@ def registered_domain_psl(
         "",
         *[
             F.when(F.col(f"__psl_m{k}").isNotNull(), F.lit("x"))
-            for k in range(1, _MAX_PSL_LABELS + 1)
+            for k in ks
         ],
     ) == ""
     reg = F.when(no_match, last_k(2)).otherwise(reg)
-    drop = [f"__psl_s{k}" for k in range(1, _MAX_PSL_LABELS + 1)] + [
-        f"__psl_m{k}" for k in range(1, _MAX_PSL_LABELS + 1)
-    ]
+    drop = [f"__psl_s{k}" for k in ks] + [f"__psl_m{k}" for k in ks]
     return tmp.withColumn(out_col, reg).drop(*drop)

@@ -117,12 +117,17 @@ def sample_frames(
             # (payload is constant per doc) so each doc decodes once per
             # batch, not once per frame — the reference decodes each frame
             # file once, not once per consumer (extract_features.py:53-55).
+            # cache key includes a cheap payload fingerprint (length +
+            # boundary bytes): duplicate media_ids with DIFFERENT payloads
+            # (an upstream dedup bug) must not silently reuse the first
+            # row's pixels — they decode independently, as pre-memo code did
             decoded: dict = {}
             prefixes = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                if mid not in decoded:
-                    decoded[mid] = bytes(decode(p).tobytes()[:64])
-                prefixes.append(decoded[mid])
+                key = (mid, len(p), bytes(p[:8]), bytes(p[-8:]))
+                if key not in decoded:
+                    decoded[key] = bytes(decode(p).tobytes()[:64])
+                prefixes.append(decoded[key])
             payloads = [
                 pre + int(ts).to_bytes(4, "little")
                 for pre, ts in zip(prefixes, pdf["ts_ms"])
@@ -245,19 +250,24 @@ def sample_audio_windows(
             # raw PCM, the codec for compressed audio) once per media_id
             # per batch and slice windows out of the cached sample array —
             # never N decodes of the full payload for N windows.
+            # cache key includes a cheap payload fingerprint (length +
+            # boundary bytes) so duplicate media_ids with different
+            # payloads decode independently instead of silently reusing
+            # the first row's samples
             decoded: dict = {}
             energy, zc = [], []
             for mid, payload, idx, spw_i in zip(
                 pdf["media_id"], pdf["payload"], pdf["window_idx"], pdf["_spw"]
             ):
-                samples = decoded.get(mid)
+                key = (mid, len(payload), bytes(payload[:8]), bytes(payload[-8:]))
+                samples = decoded.get(key)
                 if samples is None:
                     samples = (
                         codec(bytes(payload))
                         if codec is not None
                         else np.frombuffer(payload, dtype=np.int8)
                     )
-                    decoded[mid] = samples
+                    decoded[key] = samples
                 # slice offsets in Python ints: int32 idx*spw overflows past
                 # 2**31 samples (~13.5 h at 44.1 kHz)
                 lo = int(idx) * int(spw_i)

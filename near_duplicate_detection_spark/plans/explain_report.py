@@ -289,13 +289,16 @@ def main() -> None:
         q_registered_domain_psl,
     )
 
+    from near_duplicate_detection_spark.functions.url import PSL_SNAPSHOT
+
+    n_lengths = len({s.count(".") + 1 for s in PSL_SNAPSHOT})
     p = _plan_str(q_registered_domain_psl(spark, "/root/testdata/sf0.001"))
     # formatted explain lists each node twice (tree + details): assert the
     # join COUNT on the tree section only, the exclusions on the whole text
     tree = p.split("\n\n")[0]
-    check("PSL domain lookup is three broadcast joins, zero shuffle",
+    check("PSL domain lookup is one broadcast join per rule length, zero shuffle",
           "ONE" if (
-              tree.count("BroadcastHashJoin") == 3
+              tree.count("BroadcastHashJoin") == n_lengths
               and "hashpartitioning" not in p
               and "Generate" not in p
               and "EvalPython" not in p
@@ -303,10 +306,12 @@ def main() -> None:
           ) else "MANY", ["ONE"])
     sections.append((
         "Registered-domain PSL lookup",
-        "Last-k-label candidate suffixes (k=1..3) are JVM array expressions "
-        "probing the broadcast PSL dim — three map-side hash joins fused "
-        "into one codegen stage. No explode (which would triple rows into "
-        "a groupBy argmax shuffle), no Exchange, no Python eval.",
+        "Last-k-label candidate suffixes — one k per DISTINCT rule length "
+        "in the suffix list (derived, so the bundled 2/3-label slice runs "
+        "two probes and a full PSL with longer rules probes those too) — "
+        "are JVM array expressions probing the broadcast PSL dim, fused "
+        "into one map-side codegen stage. No explode (which would multiply "
+        "rows into a groupBy argmax shuffle), no Exchange, no Python eval.",
         p,
     ))
 

@@ -168,12 +168,17 @@ def test_registered_domain_psl_cases(spark):
 
 
 def test_registered_domain_psl_plan_broadcast_no_shuffle(spark):
-    """The lookup must stay a map-side chain: three broadcast hash joins,
-    no Exchange (shuffle), no explode, no Python eval."""
+    """The lookup must stay a map-side chain: one broadcast hash join per
+    DISTINCT rule length in the suffix list (the bundled slice has 2- and
+    3-label rules only — a 1-label probe would be guaranteed-miss dead
+    work), no Exchange (shuffle), no explode, no Python eval."""
     from near_duplicate_detection_spark.functions.url import (
+        PSL_SNAPSHOT,
         registered_domain_psl,
     )
 
+    n_lengths = len({s.count(".") + 1 for s in PSL_SNAPSHOT})
+    assert n_lengths == 2  # bundled slice: 2- and 3-label rules
     df = spark.createDataFrame([("www.bbc.co.uk",)], "host string")
     plan = (
         registered_domain_psl(df, "host")
@@ -181,11 +186,30 @@ def test_registered_domain_psl_plan_broadcast_no_shuffle(spark):
         .executedPlan()
         .toString()
     )
-    assert plan.count("BroadcastHashJoin") == 3
+    assert plan.count("BroadcastHashJoin") == n_lengths
     assert "Exchange hashpartitioning" not in plan
     assert "Generate explode" not in plan
     for py in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert py not in plan
+
+
+def test_registered_domain_psl_long_rules_probed(spark):
+    """Rule lengths are derived from the suffix list: a 4-label rule (as in
+    the full PSL) must actually match — the old hardcoded k<=3 range
+    silently fell through to the '*' branch for such rules."""
+    from near_duplicate_detection_spark.functions.url import (
+        registered_domain_psl,
+    )
+
+    rules = ("co.uk", "a.b.c.d")
+    df = spark.createDataFrame(
+        [("x.a.b.c.d",), ("a.b.c.d",), ("www.e.co.uk",)], "host string"
+    )
+    out = registered_domain_psl(df, "host", suffixes=rules)
+    got = {r["host"]: r["registered_domain"] for r in out.collect()}
+    assert got["x.a.b.c.d"] == "x.a.b.c.d"  # 4-label rule + 1
+    assert got["a.b.c.d"] is None  # host IS the suffix
+    assert got["www.e.co.uk"] == "e.co.uk"
 
 
 def test_canonicalize_is_codegen_no_udf(spark):
