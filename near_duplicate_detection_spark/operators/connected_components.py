@@ -18,12 +18,13 @@ as alternating large-star/small-star but with one fewer shuffle per round
 clusters are shallow stars/triangles; chains only arise through transitive
 substring links, and the jump term bounds those too.
 
-Each round is ONE job: join edges⋈labels (neighbor min) + self-join on the
-parent pointer + groupBy(min), materialized with ``localCheckpoint`` to
-truncate plan lineage. Convergence is folded into the round's output as a
-``changed`` column — detecting the fixpoint is a cheap scan of the freshly
-checkpointed partitions, not a separate old⋈new join (the round-trip that
-made this stage anti-scale 8→32 cores in round 1).
+Each round is ONE job and ONE join: the self/jump terms ride the edge join
+as map-side message edges (see connected_components), so a round is
+join + groupBy(min), materialized with ``localCheckpoint`` to truncate plan
+lineage. Convergence is folded into the round's output as a ``changed``
+column — detecting the fixpoint is a cheap scan of the freshly checkpointed
+partitions, not a separate old⋈new join (the round-trip that made this
+stage anti-scale 8→32 cores in round 1).
 
 At 100 TB the edge set is a tiny fraction of the corpus (only candidate pairs
 that verified), so per-round shuffle cost is proportional to duplicate
@@ -40,13 +41,29 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     """edges(url_a, url_b) → labels(url, label) for every node in the edge set.
 
     label = lexicographic-min url reachable from the node (cluster rep).
+
+    Each round computes, for every node u,
+
+        new(u) = min( old(u), min_{v∈N(u)} old(v), old(old(u)) )
+
+    as ONE join + ONE aggregation: the static ``sym`` edge set is unioned
+    with two per-round message edges derived map-side from the labels —
+    a self edge (u, u) carrying old(u) and a jump edge (u, old(u)) whose
+    lookup resolves to old(old(u)) — and the whole union is joined against
+    labels once (on dst) then min-aggregated by src. The round-5 shape
+    spelled the same recurrence as three joins (neighbor-min groupBy + two
+    left joins for self/jump), which cost two extra broadcast builds per
+    round locally and two extra shuffles per round at scale; r6 A/B
+    measured the fused round at ~½ the wall. The self edge is tagged so the
+    aggregate also yields old(u), making the ``changed`` fixpoint column a
+    map-side comparison — no old⋈new join, same trick as round 2.
     """
     sym = edges.select(
         F.col("url_a").alias("src"), F.col("url_b").alias("dst")
     ).union(
         edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
     )
-    sym = sym.repartition("src").localCheckpoint()
+    sym = sym.withColumn("is_self", F.lit(False)).localCheckpoint()
 
     labels = (
         sym.select(F.col("src").alias("url"))
@@ -56,30 +73,30 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     )
 
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.url)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        self_edges = labels.select(
+            F.col("url").alias("src"),
+            F.col("url").alias("dst"),
+            F.lit(True).alias("is_self"),
         )
-        # pointer jump: label(u) ← label(label(u)); labels' keys cover every
-        # node and every label IS a node, so the inner self-join is total
-        parents = labels.select(
-            F.col("url").alias("p_url"), F.col("label").alias("p_label")
+        jump_edges = labels.select(
+            F.col("url").alias("src"),
+            F.col("label").alias("dst"),
+            F.lit(False).alias("is_self"),
         )
+        msgs = sym.unionByName(self_edges).unionByName(jump_edges)
         new_labels = (
-            labels.join(neighbor_min, labels.url == neighbor_min.src, "left")
-            .join(parents, labels.label == parents.p_url, "left")
-            .select(
-                "url",
-                F.col("label").alias("old_label"),
-                F.least(
-                    F.col("label"),
-                    F.coalesce("nbr_label", F.col("label")),
-                    F.coalesce("p_label", F.col("label")),
-                ).alias("label"),
+            msgs.join(labels, msgs.dst == labels.url)
+            .groupBy("src")
+            .agg(
+                F.min("label").alias("label"),
+                # exactly one self edge per src ⇒ this IS old(u)
+                F.min(F.when(F.col("is_self"), F.col("label"))).alias("old"),
             )
-            .withColumn("changed", F.col("label") != F.col("old_label"))
-            .drop("old_label")
+            .select(
+                F.col("src").alias("url"),
+                "label",
+                (F.col("label") != F.col("old")).alias("changed"),
+            )
             .localCheckpoint()
         )
         # fixpoint test over the partitions the checkpoint just materialized —

@@ -41,8 +41,11 @@ def candidate_shingle_sets(
     # spread the Arrow pass over every core: AQE coalesces the semi-join
     # output by BYTE size (16 MB advisory → ~17 tasks for 139k candidate
     # docs), blind to the downstream per-doc Python cost — at 32 cores that
-    # left half the cluster idle. 3 waves per core keeps the tail short.
-    par = pages.sparkSession.sparkContext.defaultParallelism * 3
+    # left half the cluster idle. One wave per core: each extra wave pays a
+    # python-worker round trip per task, which r6 A/B measured at ~2× the
+    # whole leg for 3 waves (2.07 s vs 1.15 s at 15k candidate docs) — the
+    # straggler tail it bought was cheaper than the fixed task overhead.
+    par = pages.sparkSession.sparkContext.defaultParallelism
     docs = docs.repartition(par)
     return docs.mapInPandas(shingle_sets_map_fn(cfg, text_col), SHINGLE_SET_SCHEMA)
 

@@ -40,7 +40,6 @@ from near_duplicate_detection_spark.operators.connected_components import (
 )
 from near_duplicate_detection_spark.operators.lsh import (
     band_buckets,
-    exact_groups,
     flagged_buckets,
     flagged_members,
     pairs_from_buckets,
@@ -536,32 +535,41 @@ class NDDPipeline:
         # nothing (the minhash column exists for the query path / re-banding)
         sigs = self.signatures_table().select("url", "fp", "bands", "simhash")
         # exact-dup star edges first; LSH sees one representative per
-        # distinct content (collapses boilerplate/exact-dup bucket skew)
-        exact_edges, reps = exact_groups(sigs)
-        # materialize the star outputs ONCE: three consumers (band bucket
-        # join, simhash fallback, final union write) would otherwise re-run
-        # the signature scan + exact-group shuffle per consumer — measured
-        # at ~2× the whole stage's real work at 768k docs
-        exact_edges = exact_edges.localCheckpoint()
-        reps = reps.localCheckpoint()
+        # distinct content (collapses boilerplate/exact-dup bucket skew).
+        # Materialize the JOINED star table ONCE and derive edges/reps as
+        # map-side filters over the checkpoint: the round-5 shape
+        # checkpointed exact_edges and reps separately, which ran the
+        # signature scan + exact-group shuffle TWICE (r6 A/B: 2.99 s for the
+        # two checkpoints vs 0.48 s for one at 40k docs).
+        rep_map = sigs.groupBy("fp").agg(F.min("url").alias("rep"))
+        with_rep = sigs.join(rep_map, "fp").localCheckpoint()
+        exact_edges = with_rep.where(F.col("url") != F.col("rep")).select(
+            F.col("rep").alias("url_a"),
+            F.col("url").alias("url_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        reps = with_rep.where(F.col("url") == F.col("rep")).drop("rep")
         # materialize ONLY the multi-member band buckets (small) — every
         # later consumer (flag metric, pair expansion) derives map-side from
         # it instead of recomputing the scan+window+groupBy subtree
         buckets = band_buckets(reps, cfg).localCheckpoint()
         flagged = flagged_buckets(buckets, cfg)
-        # fallback unioned UNCONDITIONALLY (empty when nothing is flagged):
-        # the round-1 plan took a blocking flagged.count() between sub-jobs
-        # to decide the union — a pure serial tail. One dedup shuffle total.
-        cands = (
-            pairs_from_buckets(buckets, cfg, dedup=False)
-            .union(
+        # the fallback is only joined in when a bucket actually tripped the
+        # ceiling. Deciding that takes one count over the checkpointed (tiny)
+        # bucket table — near-zero, and it doubles as the flagged metric the
+        # round-5 shape paid a separate post-commit job for. (Round 1's sin
+        # was recomputing the corpus-wide band explode to decide; counting
+        # materialized partitions is the CC-fixpoint trick instead.) The
+        # unconditional union cost ~0.4 s of empty-side shuffles per run.
+        n_flagged = flagged.count()
+        cands = pairs_from_buckets(buckets, cfg, dedup=False)
+        if n_flagged:
+            cands = cands.union(
                 simhash_fallback_pairs(
                     reps, flagged_members(buckets, cfg), cfg, dedup=False
                 )
             )
-            .dropDuplicates(["url_a", "url_b"])
-            .localCheckpoint()
-        )
+        cands = cands.dropDuplicates(["url_a", "url_b"]).localCheckpoint()
         # materialize the shingle sets: verify joins them TWICE (url_a and
         # url_b sides), which would run the Arrow recompute pass twice
         sets = candidate_shingle_sets(
@@ -587,29 +595,47 @@ class NDDPipeline:
         )
         for t in wipe:
             _shutil.rmtree(cat.path(t), ignore_errors=True)
-        cat.write(self._stamp_era(verified.unionByName(exact_edges)), "pairs")
+        # the three stage-table writes are independent jobs over already-
+        # materialized inputs (verify reads the cands/sets checkpoints;
+        # reps/seen read the with_rep checkpoint / signature scan), so they
+        # run from a small thread pool and back-fill each other's task tails
+        # (guide §2.6). Commit safety is unchanged: lineage commits only at
+        # mark_complete below, so a crash mid-pool leaves an uncommitted
+        # stage exactly as the sequential shape did.
+        #
         # reps doubles as the delta path's INDEX: fp is the exact-group
         # rep_map, bands/simhash let an append's LSH probe scan this table
         # map-side instead of re-deriving the rep set by semi-joining the
         # full signatures table against reps every delta run (an O(corpus)
         # shuffle per append in round 3). Signatures are pure functions of
         # text, so retraction rep-substitution keeps these columns exact.
-        cat.write(
-            self._stamp_era(reps.select("url", "fp", "bands", "simhash")),
-            "reps",
-        )
+        #
         # `seen` = the (url, fp) snapshot this stage processed, stamped with
         # the stage-2 PARAM hash so the delta path can reject state built
         # under different parameters. At Iceberg scale this is a snapshot
         # id + table property, not a table.
-        cat.write(
-            self._stamp_era(
-                sigs.select("url", "fp").withColumn(
-                    "cfg_hash", F.lit(cfg.stage2_hash())
-                )
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = (
+            lambda: cat.write(
+                self._stamp_era(verified.unionByName(exact_edges)), "pairs"
             ),
-            "seen",
+            lambda: cat.write(
+                self._stamp_era(reps.select("url", "fp", "bands", "simhash")),
+                "reps",
+            ),
+            lambda: cat.write(
+                self._stamp_era(
+                    sigs.select("url", "fp").withColumn(
+                        "cfg_hash", F.lit(cfg.stage2_hash())
+                    )
+                ),
+                "seen",
+            ),
         )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for _ in pool.map(lambda w: w(), writes):
+                pass
         if wipe_patch:
             # the merge-on-read retraction patch dies with the last table
             # it could govern: seen/reps/pairs were just rebuilt (fresh era
@@ -631,9 +657,8 @@ class NDDPipeline:
             "pairs",
             {
                 "verified_pairs": n_pairs,
-                # cheap: scan of the checkpointed (small) bucket table,
-                # off the critical path (after the stage commit)
-                "flagged_buckets": flagged.count(),
+                # counted once, up front, where it also routes the fallback
+                "flagged_buckets": n_flagged,
                 "wall_ms": wall_ms,
             },
         )
@@ -1187,25 +1212,38 @@ class NDDPipeline:
         # consumer
         cands = cands.localCheckpoint()
         hits = verify_substring_pairs(cands, pages, cfg)
-        cat.write(self._stamp_era(hits), "substring_pairs")
-        # delta-path state: the per-doc window fingerprint index + the set
-        # of urls this pass covered (appended docs delta against these, the
-        # same seen convention as stage 2). Coverage = the reps table when
-        # it exists (equal to the pruned pages' urls, already materialized
-        # and tiny — no second corpus scan), stamped with the 2b PARAM hash
-        # so the delta can reject state built under other parameters.
-        cat.write(self._stamp_era(windows), "window_index")
+        # delta-path state next to the verified pairs: the per-doc window
+        # fingerprint index + the set of urls this pass covered (appended
+        # docs delta against these, the same seen convention as stage 2).
+        # Coverage = the reps table when it exists (equal to the pruned
+        # pages' urls, already materialized and tiny — no second corpus
+        # scan), stamped with the 2b PARAM hash so the delta can reject
+        # state built under other parameters. The three writes are
+        # independent jobs (verify reads the cands checkpoint; the window
+        # index reads the doc_windows checkpoint; seen_2b reads reps), so
+        # they run from a thread pool and back-fill each other's tails
+        # (guide §2.6) — the stage commits only at mark_complete below, so
+        # crash behavior is unchanged from the sequential shape.
         covered = (
             self.stage_view("reps").select("url")
             if cat.exists("reps")
             else pages.select("url")
         )
-        cat.write(
-            self._stamp_era(
-                covered.withColumn("cfg_hash", F.lit(cfg.stage2b_hash()))
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = (
+            lambda: cat.write(self._stamp_era(hits), "substring_pairs"),
+            lambda: cat.write(self._stamp_era(windows), "window_index"),
+            lambda: cat.write(
+                self._stamp_era(
+                    covered.withColumn("cfg_hash", F.lit(cfg.stage2b_hash()))
+                ),
+                "seen_2b",
             ),
-            "seen_2b",
         )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for _ in pool.map(lambda w: w(), writes):
+                pass
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("substring_pairs")
         cat.mark_complete("substring_pairs", h, {-1: n}, wall_ms)

@@ -249,7 +249,14 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         .where(F.col("doc_id") % 10 == 0)
         .select("doc_id", F.array_distinct(F.split("text", " ")).alias("toks"))
     )
-    a = d.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    # the single-row-group parquet file scans as ONE task, which would run
+    # the whole quadratic array_intersect stream serially (guide §2.5 input
+    # skew) — spread the streamed side across the cores; the build side
+    # stays a broadcast
+    par = spark.sparkContext.defaultParallelism
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+    ).repartition(par)
     b = d.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size("toks_a") + F.size("toks_b") - inter
@@ -298,7 +305,10 @@ def q_embedding_knn_bruteforce(spark, sf_dir):
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
-        emb.crossJoin(F.broadcast(q))
+        # spread the index side: single-row-group parquet scans as one task
+        # (guide §2.5), serializing the 2000×10 dot-product stream
+        emb.repartition(spark.sparkContext.defaultParallelism)
+        .crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))
         .withColumn("cosine", F.round(dot / (norm("qvec") * norm("vec")), 6))
         .withColumn("rn", F.row_number().over(w))
@@ -806,6 +816,9 @@ def _doc_signatures(spark, sf_dir):
     d = (
         _t(spark, sf_dir, "documents")
         .select(F.col("doc_id").cast("string").alias("url"), "text")
+        # single-row-group parquet ⇒ one scan task: without this the whole
+        # signature UDF pass runs on one core (guide §2.5 input skew)
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     return cfg, d.mapInPandas(signature_map_fn(cfg), schema=SIGNATURE_SCHEMA)
 
@@ -861,12 +874,18 @@ def q_lsh_candidate_pairs(spark, sf_dir):
 
     cfg = NDDConfig(shingle_k=3, jaccard_threshold=0.2)
     _, sigs = _doc_signatures(spark, sf_dir)
-    pairs, _flagged = candidate_pairs(sigs, cfg)
+    # materialize once, exactly as the pipeline's stage 2 does: the pair set
+    # feeds THREE consumers (both member_urls branches + the verify join)
+    # and each would otherwise re-run the signature UDF + band groupBy
+    # subtree; the shingle sets feed the verify join twice (r6: this query
+    # re-evaluated the signature MapInPandas 4× per run)
+    pairs, _flagged = candidate_pairs(sigs.localCheckpoint(), cfg)
+    pairs = pairs.localCheckpoint()
     docs = (
         _t(spark, sf_dir, "documents")
         .select(F.col("doc_id").cast("string").alias("url"), "text")
     )
-    sets = candidate_shingle_sets(pairs, docs, cfg)
+    sets = candidate_shingle_sets(pairs, docs, cfg).localCheckpoint()
     va = F.col("url_a").cast("bigint")
     vb = F.col("url_b").cast("bigint")
     return verify_pairs(pairs, sets, cfg).select(
@@ -1126,7 +1145,13 @@ def q_ann_ivf_topk(spark, sf_dir):
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
     )
-    out = ivf_topk(e, q, cents, k=5, n_probe=2)
+    # single-row-group parquet ⇒ one scan task: spread the index side so the
+    # per-row centroid-distance fold runs on every core (guide §2.5); the
+    # centroid/query sides stay tiny single-task scans
+    out = ivf_topk(
+        e.repartition(spark.sparkContext.defaultParallelism), q, cents,
+        k=5, n_probe=2,
+    )
     return out.select(
         "query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank"
     )
