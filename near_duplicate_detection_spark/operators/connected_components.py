@@ -65,10 +65,17 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     )
     sym = sym.withColumn("is_self", F.lit(False)).localCheckpoint()
 
+    # seed labels with min(self, direct neighbors): the same one-shuffle
+    # cost as the distinct() this replaces, and it is exactly what round 1
+    # of the loop would compute from identity labels — one fewer iteration
+    # for free (r6; the invariant "label is a reachable url ≤ self" holds)
     labels = (
-        sym.select(F.col("src").alias("url"))
-        .distinct()
-        .withColumn("label", F.col("url"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_nbr"))
+        .select(
+            F.col("src").alias("url"),
+            F.least(F.col("src"), F.col("_nbr")).alias("label"),
+        )
         .localCheckpoint()
     )
 

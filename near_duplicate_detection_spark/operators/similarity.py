@@ -142,6 +142,58 @@ def ann_topk(
     )
 
 
+def _literal_struct_sql(cents, centroid_id_col, centroid_vec_col):
+    """Render collected centroid rows as SQL literals for the inline
+    assignment path: → [(cid_sql, vec_sql)] or None when a value cannot be
+    rendered faithfully (exotic id type, unusual string, non-finite
+    component) — the caller then falls back to column-object construction.
+    Doubles use repr(): the shortest round-trip form, which Spark's parser
+    reads back to the identical IEEE-754 value, so the parsed tree equals
+    the F.lit() tree."""
+    import math
+    import re
+
+    from pyspark.sql import types as T
+
+    def cid_sql(v):
+        if isinstance(v, bool) or v is None:
+            return None
+        if isinstance(v, int):
+            return f"CAST({v} AS BIGINT)" if isinstance(
+                cid_type, T.LongType
+            ) else f"CAST({v} AS INT)" if isinstance(
+                cid_type, T.IntegerType
+            ) else None
+        if isinstance(v, str) and re.fullmatch(r"[A-Za-z0-9_.:/\-]*", v):
+            return f"'{v}'"
+        return None
+
+    # type of the id column is resolved by the caller's collect schema
+    cid_type = None
+    out = []
+    for row in cents:
+        if cid_type is None:
+            v = row[centroid_id_col]
+            cid_type = (
+                T.LongType()
+                if isinstance(v, int) and not isinstance(v, bool)
+                else T.StringType()
+                if isinstance(v, str)
+                else None
+            )
+        c = cid_sql(row[centroid_id_col])
+        vec = row[centroid_vec_col]
+        if c is None or vec is None or any(
+            not math.isfinite(float(x)) for x in vec
+        ):
+            return None
+        vec_sql = "array(" + ", ".join(
+            repr(float(x)) + "D" for x in vec
+        ) + ")"
+        out.append((c, vec_sql))
+    return out
+
+
 def assign_to_centroids(
     df: DataFrame, centroids: DataFrame, vec_col: str = "vec",
     centroid_id_col: str = "centroid_id", centroid_vec_col: str = "cvec",
@@ -166,21 +218,46 @@ def assign_to_centroids(
     cents = centroids.select(centroid_id_col, centroid_vec_col).collect()
     cents.sort(key=lambda r: r[centroid_id_col])
     if len(cents) <= max_inline:
-        structs = []
-        for row in cents:
-            lit_vec = F.array(*[F.lit(float(x)) for x in row[centroid_vec_col]])
-            d = F.aggregate(
-                F.zip_with(
-                    F.col(vec_col), lit_vec, lambda x, y: (x - y) * (x - y)
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+        lits = _literal_struct_sql(cents, centroid_id_col, centroid_vec_col)
+        if lits is not None:
+            # ONE parsed SQL expression instead of composing the tree
+            # through py4j: the column-object form issued ~2 gateway round
+            # trips per literal (cells × dim of them), which r6 measured at
+            # 2.0 s of DRIVER time per assignment call at 21×64 — pure plan
+            # construction, before any task ran. Parsing the identical
+            # expression JVM-side is one call; the analyzed tree, and thus
+            # every computed distance and tie-break, is unchanged.
+            structs = [
+                f"named_struct('d', aggregate(zip_with({vec_col}, {vec_sql},"
+                " (x, y) -> (x - y) * (x - y)), 0.0D,"
+                f" (acc, x) -> acc + x), 'cid', {cid_sql})"
+                for cid_sql, vec_sql in lits
+            ]
+            nearest = (
+                f"slice(array_sort(array({', '.join(structs)})), 1,"
+                f" {int(n_nearest)})"
             )
-            structs.append(
-                F.struct(d.alias("d"), F.lit(row[centroid_id_col]).alias("cid"))
-            )
-        nearest = F.slice(F.array_sort(F.array(*structs)), 1, n_nearest)
-        out = df.withColumn("_near", F.explode(nearest))
+            out = df.withColumn("_near", F.explode(F.expr(nearest)))
+        else:  # exotic id type / non-finite component: column-object form
+            structs = []
+            for row in cents:
+                lit_vec = F.array(
+                    *[F.lit(float(x)) for x in row[centroid_vec_col]]
+                )
+                d = F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col), lit_vec, lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                structs.append(
+                    F.struct(
+                        d.alias("d"), F.lit(row[centroid_id_col]).alias("cid")
+                    )
+                )
+            nearest = F.slice(F.array_sort(F.array(*structs)), 1, n_nearest)
+            out = df.withColumn("_near", F.explode(nearest))
         return out.select(*df.columns, F.col("_near.cid").alias(out_col))
 
     cmat = np.stack(

@@ -176,8 +176,20 @@ class NDDPipeline:
             if self._changed_buckets is not None
             else range(cfg.num_buckets)
         )
-        stats = self._input_stats(pages)
         done = cat.latest_partition_stats("pages", h) if resume else {}
+        if not done and self._changed_buckets is None:
+            # ---- one-pass full build (r6): nothing is resumable, so every
+            # input row will be written regardless of its stats — fold the
+            # per-bucket (rows, checksum) aggregation into the write itself
+            # via observed metrics instead of paying a SECOND full pass over
+            # the input for _input_stats (guide §1.2: remove unnecessary
+            # passes). The observed values are the same count/decimal-sum
+            # expressions _input_stats aggregates, so lineage content is
+            # bit-identical; resume/seam paths keep the stats-first scan
+            # (they must decide WHAT to write before writing).
+            self._ingest_one_pass(pages, h, t0)
+            return
+        stats = self._input_stats(pages)
         pending = sorted(
             b for b in candidates if done.get(b, None) != stats.get(b, (0, 0))
         )
@@ -272,6 +284,64 @@ class NDDPipeline:
                 "appended_docs_ingested": sum(
                     stats[b][0] - done[b][0] for b in appended
                 ),
+                "wall_ms": wall_ms,
+            },
+        )
+
+    def _ingest_one_pass(self, pages: DataFrame, h: str, t0: float) -> None:
+        """Full-build stage 0 in ONE pass over the input: write every row
+        and collect the per-bucket (rows, Σ xxhash64(url, text)) lineage
+        stats as observed metrics of the SAME write job. Behavior-identical
+        to the stats-then-write path when nothing is resumable: same files,
+        same lineage rows, same metrics, same stale-partition drops."""
+        from pyspark.sql import Observation
+
+        cfg, cat = self.cfg, self.catalog
+        dec = F.col("h").cast("decimal(38,0)")
+        aggs = []
+        for b in range(cfg.num_buckets):
+            w = F.col("bucket") == b
+            aggs.append(F.sum(F.when(w, 1).otherwise(0)).alias(f"r{b}"))
+            aggs.append(F.sum(F.when(w, dec)).alias(f"c{b}"))
+        df = (
+            self._stamp_era(pages.withColumn("bucket", self._bucket_expr()))
+            .withColumn("h", F.xxhash64("url", "text"))
+            # bucket-PURE partitions, same rationale as the two-pass path
+            .repartition("bucket")
+        )
+        obs = Observation("ingest_stats")
+        cat.write(
+            df.observe(obs, *aggs).drop("h"),
+            "pages",
+            partition_by=["bucket"],
+            max_records_per_file=2048,
+        )
+        got = obs.get
+        stats: dict[int, tuple[int, int]] = {}
+        for b in range(cfg.num_buckets):
+            r = int(got[f"r{b}"] or 0)
+            if r:
+                stats[b] = (r, _wrap64(int(got[f"c{b}"])))
+        # dynamic overwrite never touches a partition with zero input rows —
+        # drop stale dirs explicitly, exactly like the two-pass path
+        pending = list(range(cfg.num_buckets))
+        for b in pending:
+            if b not in stats:
+                cat.drop_partition("pages", b)
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        cat.mark_complete(
+            "pages",
+            h,
+            {b: stats.get(b, (0, 0))[0] for b in pending},
+            wall_ms,
+            checksums={b: stats.get(b, (0, 0))[1] for b in pending},
+        )
+        cat.add_metrics(
+            "pages",
+            {
+                "buckets_appended": 0,
+                "buckets_rewritten": len(stats),
+                "appended_docs_ingested": 0,
                 "wall_ms": wall_ms,
             },
         )
@@ -804,22 +874,38 @@ class NDDPipeline:
         cat.write(
             appended_pairs.select("url_a", "url_b"), "edges_new", mode="append"
         )
-        cat.write(new_sigs.select("url"), "urls_new", mode="append")
-        cat.write(self._stamp_era(appended_pairs), "pairs", mode="append")
-        cat.write(
-            self._stamp_era(new_reps.select("url", "fp", "bands", "simhash")),
-            "reps",
-            mode="append",
-        )
-        cat.write(
-            self._stamp_era(
-                new_sigs.select("url", "fp").withColumn(
-                    "cfg_hash", F.lit(cfg.stage2_hash())
-                )
+        # the remaining four appends are order-free among themselves: the
+        # inflight marker (set above, cleared only after mark_complete)
+        # already routes ANY partial combination to the idempotent full
+        # rebuild, and the one ordering that adds a guarantee beyond the
+        # marker — log before pairs — is preserved by the barrier above.
+        # They read only materialized inputs, so run them from a pool
+        # (guide §2.6).
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = (
+            lambda: cat.write(new_sigs.select("url"), "urls_new", mode="append"),
+            lambda: cat.write(self._stamp_era(appended_pairs), "pairs", mode="append"),
+            lambda: cat.write(
+                self._stamp_era(
+                    new_reps.select("url", "fp", "bands", "simhash")
+                ),
+                "reps",
+                mode="append",
             ),
-            "seen",
-            mode="append",
+            lambda: cat.write(
+                self._stamp_era(
+                    new_sigs.select("url", "fp").withColumn(
+                        "cfg_hash", F.lit(cfg.stage2_hash())
+                    )
+                ),
+                "seen",
+                mode="append",
+            ),
         )
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for _ in pool.map(lambda w: w(), writes):
+                pass
         wall_ms = int((time.monotonic() - t0) * 1000)
         n_pairs = cat.count_rows("pairs")
         cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
@@ -1442,15 +1528,29 @@ class NDDPipeline:
         # stage-3 append log before the table append (same crash ordering
         # rule as the stage-2 delta: over-logging is safe, under-logging not)
         cat.write(hits.select("url_a", "url_b"), "edges_new", mode="append")
-        cat.write(self._stamp_era(hits), "substring_pairs", mode="append")
-        cat.write(self._stamp_era(new_windows), "window_index", mode="append")
-        cat.write(
-            self._stamp_era(
-                new_urls.withColumn("cfg_hash", F.lit(cfg.stage2b_hash()))
+        # order-free among themselves once the log is down (the inflight
+        # marker routes any partial state to the full rebuild) — pooled,
+        # same rationale as the stage-2 append core (guide §2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        writes = (
+            lambda: cat.write(
+                self._stamp_era(hits), "substring_pairs", mode="append"
             ),
-            "seen_2b",
-            mode="append",
+            lambda: cat.write(
+                self._stamp_era(new_windows), "window_index", mode="append"
+            ),
+            lambda: cat.write(
+                self._stamp_era(
+                    new_urls.withColumn("cfg_hash", F.lit(cfg.stage2b_hash()))
+                ),
+                "seen_2b",
+                mode="append",
+            ),
         )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for _ in pool.map(lambda w: w(), writes):
+                pass
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("substring_pairs")
         cat.mark_complete("substring_pairs", h, {-1: n}, wall_ms)
