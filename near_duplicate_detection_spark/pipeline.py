@@ -1616,11 +1616,20 @@ class NDDPipeline:
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("clusters")
         cat.mark_complete("clusters", h, {-1: n}, wall_ms)
+        # multi-doc cluster metric straight from the checkpointed CC labels
+        # instead of re-scanning the just-written corpus-sized table
+        # (_multi_doc_clusters — the delta paths still use it): every CC
+        # component has ≥2 members (labels cover exactly the nodes with an
+        # edge), and no singleton's cluster_id (its own url, absent from
+        # labels) can collide with a component label (a member url), so
+        # distinct labels ≡ clusters with ≥2 members.
         cat.add_metrics(
             "clusters",
             {
                 "rows": n,
-                "multi_doc_clusters": self._multi_doc_clusters(),
+                "multi_doc_clusters": labels.select("label")
+                .distinct()
+                .count(),
                 "wall_ms": wall_ms,
             },
         )

@@ -939,10 +939,12 @@ def q_near_dup_clusters(spark, sf_dir):
     )
     labels = connected_components(edges)
     clusters = clusters_table(labels, all_urls)
-    sizes = clusters.groupBy("cluster_id").agg(
-        F.count("*").alias("cluster_size")
-    )
-    return clusters.join(sizes, "cluster_id").select(
+    # cluster_size as a window count over the same partitioning the rows
+    # already need — the groupBy+join spelling paid a second shuffle plus a
+    # join for the identical value (r6; guide §2.4 shared-exchange rule)
+    return clusters.withColumn(
+        "cluster_size", F.count("*").over(W.partitionBy("cluster_id"))
+    ).select(
         F.col("url").cast("bigint").alias("doc_id"),
         "cluster_id",
         "is_representative",
