@@ -599,59 +599,15 @@ class NDDPipeline:
         ):
             return
         t0 = time.monotonic()
-        # column-prune BEFORE the fp join: stage 2 only ever uses url+bands
-        # (LSH) and url+simhash (fallback) — shipping the 128-perm minhash
-        # array through the exact-group shuffles would 5× the bytes for
-        # nothing (the minhash column exists for the query path / re-banding)
-        sigs = self.signatures_table().select("url", "fp", "bands", "simhash")
-        # exact-dup star edges first; LSH sees one representative per
-        # distinct content (collapses boilerplate/exact-dup bucket skew).
-        # Materialize the JOINED star table ONCE and derive edges/reps as
-        # map-side filters over the checkpoint: the round-5 shape
-        # checkpointed exact_edges and reps separately, which ran the
-        # signature scan + exact-group shuffle TWICE (r6 A/B: 2.99 s for the
-        # two checkpoints vs 0.48 s for one at 40k docs).
-        rep_map = sigs.groupBy("fp").agg(F.min("url").alias("rep"))
-        with_rep = sigs.join(rep_map, "fp").localCheckpoint()
-        exact_edges = with_rep.where(F.col("url") != F.col("rep")).select(
-            F.col("rep").alias("url_a"),
-            F.col("url").alias("url_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-        reps = with_rep.where(F.col("url") == F.col("rep")).drop("rep")
-        # materialize ONLY the multi-member band buckets (small) — every
-        # later consumer (flag metric, pair expansion) derives map-side from
-        # it instead of recomputing the scan+window+groupBy subtree
-        buckets = band_buckets(reps, cfg).localCheckpoint()
-        flagged = flagged_buckets(buckets, cfg)
-        # the fallback is only joined in when a bucket actually tripped the
-        # ceiling. Deciding that takes one count over the checkpointed (tiny)
-        # bucket table — near-zero, and it doubles as the flagged metric the
-        # round-5 shape paid a separate post-commit job for. (Round 1's sin
-        # was recomputing the corpus-wide band explode to decide; counting
-        # materialized partitions is the CC-fixpoint trick instead.) The
-        # unconditional union cost ~0.4 s of empty-side shuffles per run.
-        n_flagged = flagged.count()
-        cands = pairs_from_buckets(buckets, cfg, dedup=False)
-        if n_flagged:
-            cands = cands.union(
-                simhash_fallback_pairs(
-                    reps, flagged_members(buckets, cfg), cfg, dedup=False
-                )
-            )
-        cands = cands.dropDuplicates(["url_a", "url_b"]).localCheckpoint()
-        # materialize the shingle sets: verify joins them TWICE (url_a and
-        # url_b sides), which would run the Arrow recompute pass twice
-        sets = candidate_shingle_sets(
-            cands, self.pages_table(), cfg
-        ).localCheckpoint()
-        verified = verify_pairs(cands, sets, cfg)
         # a full stage-2 rewrite (e.g. after an edit) invalidates the 2b
         # delta state (reps/windows may change under seen_2b's cover) AND
         # the stage-3 append log (the rebuilt edge set supersedes it; stage
-        # 3 must run full) — wipe both BEFORE the writes below: a crash
+        # 3 must run full) — wipe both BEFORE any write below: a crash
         # mid-rewrite must leave the conservative state (missing ⇒ delta
-        # consumers fall back to full), never stale-but-plausible state
+        # consumers fall back to full), never stale-but-plausible state.
+        # (r6: wipes moved ahead of the compute chain so the overlapped
+        # `seen` write can start immediately — same crash argument, the
+        # conservative window is merely wider.)
         import shutil as _shutil
 
         wipe = ["window_index", "seen_2b", *self._STAGE3_LOG_TABLES]
@@ -665,20 +621,17 @@ class NDDPipeline:
         )
         for t in wipe:
             _shutil.rmtree(cat.path(t), ignore_errors=True)
-        # the three stage-table writes are independent jobs over already-
-        # materialized inputs (verify reads the cands/sets checkpoints;
-        # reps/seen read the with_rep checkpoint / signature scan), so they
-        # run from a small thread pool and back-fill each other's task tails
-        # (guide §2.6). Commit safety is unchanged: lineage commits only at
-        # mark_complete below, so a crash mid-pool leaves an uncommitted
-        # stage exactly as the sequential shape did.
-        #
-        # reps doubles as the delta path's INDEX: fp is the exact-group
-        # rep_map, bands/simhash let an append's LSH probe scan this table
-        # map-side instead of re-deriving the rep set by semi-joining the
-        # full signatures table against reps every delta run (an O(corpus)
-        # shuffle per append in round 3). Signatures are pure functions of
-        # text, so retraction rep-substitution keeps these columns exact.
+        # column-prune BEFORE the fp join: stage 2 only ever uses url+bands
+        # (LSH) and url+simhash (fallback) — shipping the 128-perm minhash
+        # array through the exact-group shuffles would 5× the bytes for
+        # nothing (the minhash column exists for the query path / re-banding)
+        sigs = self.signatures_table().select("url", "fp", "bands", "simhash")
+        # the `seen` and `reps` writes depend only on the signature scan /
+        # the star checkpoint, not on the candidate-verify chain — submit
+        # them as soon as their input exists so they run UNDER the chain
+        # instead of as a serial tail (guide §2.6). Lineage still commits
+        # only at mark_complete, so crash behavior matches the sequential
+        # shape.
         #
         # `seen` = the (url, fp) snapshot this stage processed, stamped with
         # the stage-2 PARAM hash so the delta path can reject state built
@@ -686,26 +639,85 @@ class NDDPipeline:
         # id + table property, not a table.
         from concurrent.futures import ThreadPoolExecutor
 
-        writes = (
-            lambda: cat.write(
-                self._stamp_era(verified.unionByName(exact_edges)), "pairs"
-            ),
-            lambda: cat.write(
-                self._stamp_era(reps.select("url", "fp", "bands", "simhash")),
-                "reps",
-            ),
-            lambda: cat.write(
-                self._stamp_era(
-                    sigs.select("url", "fp").withColumn(
-                        "cfg_hash", F.lit(cfg.stage2_hash())
+        pool = ThreadPoolExecutor(max_workers=2)
+        try:
+            fut_seen = pool.submit(
+                lambda: cat.write(
+                    self._stamp_era(
+                        sigs.select("url", "fp").withColumn(
+                            "cfg_hash", F.lit(cfg.stage2_hash())
+                        )
+                    ),
+                    "seen",
+                )
+            )
+            # exact-dup star edges first; LSH sees one representative per
+            # distinct content (collapses boilerplate/exact-dup bucket
+            # skew). Materialize the JOINED star table ONCE and derive
+            # edges/reps as map-side filters over the checkpoint: the
+            # round-5 shape checkpointed exact_edges and reps separately,
+            # which ran the signature scan + exact-group shuffle TWICE
+            # (r6 A/B: 2.99 s for the two checkpoints vs 0.48 s for one at
+            # 40k docs).
+            rep_map = sigs.groupBy("fp").agg(F.min("url").alias("rep"))
+            with_rep = sigs.join(rep_map, "fp").localCheckpoint()
+            exact_edges = with_rep.where(F.col("url") != F.col("rep")).select(
+                F.col("rep").alias("url_a"),
+                F.col("url").alias("url_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+            reps = with_rep.where(F.col("url") == F.col("rep")).drop("rep")
+            # reps doubles as the delta path's INDEX: fp is the exact-group
+            # rep_map, bands/simhash let an append's LSH probe scan this
+            # table map-side instead of re-deriving the rep set by
+            # semi-joining the full signatures table against reps every
+            # delta run (an O(corpus) shuffle per append in round 3).
+            # Signatures are pure functions of text, so retraction
+            # rep-substitution keeps these columns exact.
+            fut_reps = pool.submit(
+                lambda: cat.write(
+                    self._stamp_era(
+                        reps.select("url", "fp", "bands", "simhash")
+                    ),
+                    "reps",
+                )
+            )
+            # materialize ONLY the multi-member band buckets (small) —
+            # every later consumer (flag metric, pair expansion) derives
+            # map-side from it instead of recomputing the
+            # scan+window+groupBy subtree
+            buckets = band_buckets(reps, cfg).localCheckpoint()
+            flagged = flagged_buckets(buckets, cfg)
+            # the fallback is only joined in when a bucket actually tripped
+            # the ceiling. Deciding that takes one count over the
+            # checkpointed (tiny) bucket table — near-zero, and it doubles
+            # as the flagged metric the round-5 shape paid a separate
+            # post-commit job for. (Round 1's sin was recomputing the
+            # corpus-wide band explode to decide; counting materialized
+            # partitions is the CC-fixpoint trick instead.) The
+            # unconditional union cost ~0.4 s of empty-side shuffles/run.
+            n_flagged = flagged.count()
+            cands = pairs_from_buckets(buckets, cfg, dedup=False)
+            if n_flagged:
+                cands = cands.union(
+                    simhash_fallback_pairs(
+                        reps, flagged_members(buckets, cfg), cfg, dedup=False
                     )
-                ),
-                "seen",
-            ),
-        )
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            for _ in pool.map(lambda w: w(), writes):
-                pass
+                )
+            cands = cands.dropDuplicates(["url_a", "url_b"]).localCheckpoint()
+            # materialize the shingle sets: verify joins them TWICE (url_a
+            # and url_b sides), which would run the Arrow recompute twice
+            sets = candidate_shingle_sets(
+                cands, self.pages_table(), cfg
+            ).localCheckpoint()
+            verified = verify_pairs(cands, sets, cfg)
+            cat.write(
+                self._stamp_era(verified.unionByName(exact_edges)), "pairs"
+            )
+            fut_seen.result()
+            fut_reps.result()
+        finally:
+            pool.shutdown(wait=True)
         if wipe_patch:
             # the merge-on-read retraction patch dies with the last table
             # it could govern: seen/reps/pairs were just rebuilt (fresh era
@@ -1297,17 +1309,16 @@ class NDDPipeline:
         # this the whole fingerprint→bucket→expand subtree re-evaluates per
         # consumer
         cands = cands.localCheckpoint()
-        hits = verify_substring_pairs(cands, pages, cfg)
         # delta-path state next to the verified pairs: the per-doc window
         # fingerprint index + the set of urls this pass covered (appended
         # docs delta against these, the same seen convention as stage 2).
         # Coverage = the reps table when it exists (equal to the pruned
         # pages' urls, already materialized and tiny — no second corpus
         # scan), stamped with the 2b PARAM hash so the delta can reject
-        # state built under other parameters. The three writes are
-        # independent jobs (verify reads the cands checkpoint; the window
-        # index reads the doc_windows checkpoint; seen_2b reads reps), so
-        # they run from a thread pool and back-fill each other's tails
+        # state built under other parameters. Both sidecar writes depend
+        # only on state that is materialized by the time the candidate set
+        # is (doc_windows checkpoint / reps table), so they are submitted
+        # here and run UNDER the LCS verify instead of as a serial tail
         # (guide §2.6) — the stage commits only at mark_complete below, so
         # crash behavior is unchanged from the sequential shape.
         covered = (
@@ -1317,19 +1328,27 @@ class NDDPipeline:
         )
         from concurrent.futures import ThreadPoolExecutor
 
-        writes = (
-            lambda: cat.write(self._stamp_era(hits), "substring_pairs"),
-            lambda: cat.write(self._stamp_era(windows), "window_index"),
-            lambda: cat.write(
-                self._stamp_era(
-                    covered.withColumn("cfg_hash", F.lit(cfg.stage2b_hash()))
-                ),
-                "seen_2b",
-            ),
-        )
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            for _ in pool.map(lambda w: w(), writes):
-                pass
+        pool = ThreadPoolExecutor(max_workers=2)
+        try:
+            fut_windows = pool.submit(
+                lambda: cat.write(self._stamp_era(windows), "window_index")
+            )
+            fut_seen = pool.submit(
+                lambda: cat.write(
+                    self._stamp_era(
+                        covered.withColumn(
+                            "cfg_hash", F.lit(cfg.stage2b_hash())
+                        )
+                    ),
+                    "seen_2b",
+                )
+            )
+            hits = verify_substring_pairs(cands, pages, cfg)
+            cat.write(self._stamp_era(hits), "substring_pairs")
+            fut_windows.result()
+            fut_seen.result()
+        finally:
+            pool.shutdown(wait=True)
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("substring_pairs")
         cat.mark_complete("substring_pairs", h, {-1: n}, wall_ms)
