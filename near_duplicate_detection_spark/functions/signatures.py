@@ -122,8 +122,12 @@ def shingle_hashes_flat(
 # buffers amortize over the whole job. Single-threaded per worker → safe.
 _BUF: dict[tuple[str, int], np.ndarray] = {}
 
-# chunk size in matrix cells (~rows × k); 2M cells ≈ 16 MB of int64
-_TARGET_CELLS = 2_000_000
+# chunk size in matrix cells (~rows × k). 125k cells ≈ 1 MB of int64 — the
+# whole work buffer stays L2-resident across the multiply/add/mod/min (or
+# shift/and/reduceat) passes, which r6 measured at 2.5× faster for minhash
+# and 4× for simhash than the previous 2M-cell (16 MB, L2-evicting) chunks,
+# bit-identical output. Going finer (64k) starts paying per-chunk overhead.
+_TARGET_CELLS = 125_000
 
 
 def _buffer(name: str, shape: tuple[int, ...], dtype) -> np.ndarray:
