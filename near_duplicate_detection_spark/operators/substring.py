@@ -72,17 +72,49 @@ def anchor_positions(t: str, g: int, d: int) -> np.ndarray:
     return np.nonzero(h.view(np.uint64) % np.uint64(d) == 0)[0].astype(np.int64)
 
 
+# byte span of one kernel chunk: g+w strided/gathered passes run over the
+# concatenated buffer, so keeping the working set L2-resident is worth 2.3×
+# (r6: 0.69 s → 0.29 s per 4k docs at 64 KB, bit-identical) vs one dense
+# pass over a multi-MB Arrow batch
+_CHUNK_BYTES = 64_000
+
+
 def window_hashes_batch(
     texts: list[str], w: int, g: int, d: int
 ) -> tuple[np.ndarray, np.ndarray]:
     """Distinct anchored-window hashes for a batch of normalized texts.
 
     → (doc_idx int64[], win_hash int64[]): one row per distinct (doc, window
-    hash). Fully vectorized over the batch: Horner anchor hashes are g
-    shifted multiply-adds over the concatenated buffer; window hashes are
-    computed only AT anchor positions (w gathers over the anchor vector, not
-    w passes over the buffer); per-doc dedup is one lexsort.
+    hash). Processes the batch in ``_CHUNK_BYTES``-sized doc runs (docs
+    never split, results concatenate exactly — dedup is per doc); each run
+    uses the dense kernel below.
     """
+    n = len(texts)
+    if n == 0:
+        return _window_hashes_dense(texts, w, g, d)
+    lens = [len(t.encode("utf-8")) for t in texts]
+    out_d: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    lo = 0
+    while lo < n:
+        hi, acc = lo, 0
+        while hi < n and (acc == 0 or acc + lens[hi] <= _CHUNK_BYTES):
+            acc += lens[hi]
+            hi += 1
+        di, hh = _window_hashes_dense(texts[lo:hi], w, g, d)
+        out_d.append(di + lo)
+        out_h.append(hh)
+        lo = hi
+    return np.concatenate(out_d), np.concatenate(out_h)
+
+
+def _window_hashes_dense(
+    texts: list[str], w: int, g: int, d: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """One dense pass over a concatenated text buffer: Horner anchor hashes
+    are g shifted multiply-adds; window hashes are computed only AT anchor
+    positions (w gathers over the anchor vector, not w passes over the
+    buffer); per-doc dedup is one lexsort."""
     n_docs = len(texts)
     bufs = [t.encode("utf-8") for t in texts]
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
