@@ -88,6 +88,15 @@ class NDDPipeline:
         # computed-bucket filter on the input/seen sides. None = infer over
         # the whole corpus (default behavior, unchanged).
         self._changed_buckets: frozenset[int] | None = None
+        # per-bucket (rows, checksum) of the CURRENT input snapshot, as a
+        # by-product of _try_pure_append's identity aggregate — consumed by
+        # run_incremental's slow path so stage0_ingest's resume scan does
+        # not re-evaluate the snapshot for the identical numbers (the probe
+        # sums the same count / decimal xxhash64 expressions per bucket;
+        # exactness relies on the corpus url-uniqueness invariant the
+        # probe's own identity algebra already assumes). Never persisted;
+        # valid only for the snapshot of the run_incremental call in flight.
+        self._inferred_stats: dict[int, tuple[int, int]] | None = None
 
     # ---------- stage 0 ----------
 
@@ -141,7 +150,12 @@ class NDDPipeline:
             for r in rows
         }
 
-    def stage0_ingest(self, pages: DataFrame, resume: bool = True) -> None:
+    def stage0_ingest(
+        self,
+        pages: DataFrame,
+        resume: bool = True,
+        stats_hint: dict[int, tuple[int, int]] | None = None,
+    ) -> None:
         """Materialize the input as the catalog's `pages` table, partitioned
         by url-hash bucket. Every later stage scans this table instead of
         re-evaluating the input plan, and stage 1's pending-bucket filter
@@ -154,6 +168,13 @@ class NDDPipeline:
         appended, edited, or shrunken snapshot refreshes exactly the changed
         buckets, and a bucket whose docs all vanished is dropped (the
         reference drops deleted videos on update, ndd/server_ndd.py:246-261).
+
+        ``stats_hint``: the input's per-bucket (rows, checksum) when the
+        caller already aggregated exactly ``_input_stats``'s expressions
+        over exactly this (restricted) snapshot — ``run_incremental``
+        threads the pure-append probe's identity aggregate here, saving one
+        full snapshot evaluation on the inferred edit/delete path (guide
+        §1.2: remove duplicate passes). Trusted verbatim; resume-path only.
 
         PURE-APPEND fast path (same checksum algebra as stage 1's): appends
         hash uniformly into ALL buckets, so the bucket-granular rewrite
@@ -189,7 +210,7 @@ class NDDPipeline:
             # (they must decide WHAT to write before writing).
             self._ingest_one_pass(pages, h, t0)
             return
-        stats = self._input_stats(pages)
+        stats = stats_hint if stats_hint is not None else self._input_stats(pages)
         pending = sorted(
             b for b in candidates if done.get(b, None) != stats.get(b, (0, 0))
         )
@@ -815,10 +836,19 @@ class NDDPipeline:
                 cat.exists("seen") and cat.exists("reps") and cat.exists("pairs")
             ):
                 return False  # retraction emptied a core table → full path
-            seen = self._restrict_changed(
-                self.stage_view("seen")
-            ).select("url", "fp")
-            new_sigs = drift_new(classify_drift(sigs, seen))
+            # post-retraction new set WITHOUT a second corpus-wide
+            # classify_drift join (r6, guide §1.2): the retraction dropped
+            # exactly `violations` from the seen view (drop-only patch /
+            # fold anti-join, operators/mor.py URL_DROP_TABLES), so
+            #   new₂ = {sigs ∉ seen_before} ∪ {sigs ∩ violations}
+            # — the first term is the materialized drift's new split, the
+            # second a broadcast semi-join of the drift-sized violation set
+            # against the (partition-restricted) signatures scan. Disjoint
+            # by construction (violations ⊆ seen_before), so the union adds
+            # no duplicates. One map-side scan replaces the full-outer join.
+            new_sigs = drift_new(drift).unionByName(
+                sigs.join(F.broadcast(violations), "url", "left_semi")
+            )
         new_sigs = new_sigs.localCheckpoint()
         n_new = new_sigs.count()
         if n_new == 0:
@@ -2176,7 +2206,11 @@ class NDDPipeline:
                 fast = self._try_pure_append(pages, substring_pass)
                 if fast is not None:
                     return fast
-                self.stage0_ingest(pages, resume=True)
+                # the rejected probe's identity aggregate IS this snapshot's
+                # _input_stats — reuse it instead of a second full pass
+                self.stage0_ingest(
+                    pages, resume=True, stats_hint=self._inferred_stats
+                )
             self.stage1_signatures(resume=True)
             self._appended_rep_urls = None
             self._appended_edges = None
@@ -2194,6 +2228,7 @@ class NDDPipeline:
             return self.clusters_view()
         finally:
             self._changed_buckets = None
+            self._inferred_stats = None
 
     def _try_pure_append(
         self, pages: DataFrame, substring_pass: bool
@@ -2219,6 +2254,7 @@ class NDDPipeline:
         append, which ``append_pages`` verifies no further (its caller
         contract is established here)."""
         cat, cfg = self.catalog, self.cfg
+        self._inferred_stats = None  # valid only for THIS call's snapshot
         if self._delta_suspect():
             return None  # crashed delta/retraction: slow path heals
         h1 = cfg.stage1_hash()
@@ -2257,6 +2293,18 @@ class NDDPipeline:
             .collect()
         )
         totals = {int(r["bucket"]): r for r in agg}
+        # by-product stash: the aggregate above already IS _input_stats of
+        # this (restricted) snapshot — per-bucket count + decimal xxhash64
+        # sum, wrapped to mod-2^64 — so when drift forces the slow path,
+        # run_incremental hands it to stage0_ingest instead of paying a
+        # second full snapshot evaluation for the identical dict (guide
+        # §1.2). The left probe join cannot change multiplicity: the pages
+        # view is url-unique (MOR governance + the url-primary-key caller
+        # contract this probe's identity algebra already relies on).
+        self._inferred_stats = {
+            b: (int(r["rows"]), _wrap64(int(r["cks"])))
+            for b, r in totals.items()
+        }
         n_new = sum(int(r["new_rows"]) for r in agg)
         if n_new == 0:
             return None  # no appended rows: no-drift or delete-only drift

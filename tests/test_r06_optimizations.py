@@ -176,3 +176,59 @@ def test_literal_sql_double_rendering_roundtrips(spark):
     exprs = ", ".join(repr(float(v)) + "D" for v in vals)
     got = spark.sql(f"SELECT array({exprs}) AS a").collect()[0]["a"]
     assert all(g == v for g, v in zip(got, vals))
+
+
+def test_mixed_edit_delete_append_single_snapshot_matches_full(
+    spark, tmp_path_factory
+):
+    """r6 internals change: after a targeted retraction the stage-2 delta
+    derives the post-retraction new set as drift_new ∪ (sigs ⋉ violations)
+    instead of a second corpus-wide classify_drift join. Pin its full
+    generality in ONE snapshot: an edited doc (0020 — an exact-dup REP),
+    a deleted doc (0021 — that rep's only dup member, so the surviving-
+    member substitution finds nobody and must drop), and two appended docs
+    (0100/0101 — an exact-dup pair by generator role). The delta must
+    retract exactly 2 urls, re-enter exactly 3 (two appends + the edit),
+    and the clusters must equal a from-scratch rebuild."""
+    from pyspark.sql import functions as F
+
+    from near_duplicate_detection_spark.sources.pages import generate_pages
+
+    cfg = NDDConfig(num_buckets=4)
+    base = str(tmp_path_factory.mktemp("ndd_mixed_r6"))
+    pipe = NDDPipeline(spark, cfg, base)
+    pipe.run(generate_pages(spark, 100))
+
+    snapshot = (
+        generate_pages(spark, 102)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("url").endswith("0020"),
+                F.concat(F.col("text"), F.lit(" mixed edited tail")),
+            ).otherwise(F.col("text")),
+        )
+        .where(~F.col("url").endswith("0021"))
+    )
+    clusters = pipe.run_incremental(snapshot).toPandas()
+    assert len(clusters) == 101  # 100 - 1 deleted + 2 appended
+
+    m = pipe.catalog.read("metrics").toPandas()
+    ret = m[(m.stage == "pairs") & (m.key == "retracted_docs")]
+    assert len(ret) == 1 and int(ret.value.iloc[0]) == 2
+    new = m[(m.stage == "pairs") & (m.key == "delta_new_docs")]
+    assert len(new) == 1 and int(new.value.iloc[0]) == 3
+
+    def _partition(pdf):
+        return {
+            frozenset(grp.url) for _, grp in pdf.groupby("cluster_id")
+        }
+
+    full = (
+        NDDPipeline(
+            spark, cfg, str(tmp_path_factory.mktemp("ndd_mixed_r6_full"))
+        )
+        .run(snapshot)
+        .toPandas()
+    )
+    assert _partition(clusters) == _partition(full)

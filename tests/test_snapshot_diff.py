@@ -121,7 +121,12 @@ def test_mixed_drift_restricted_scans_match_full(
     clusters = pipe.run_incremental(
         snapshot, changed_buckets=changed
     ).toPandas()
-    assert calls["stats"] >= 1 and calls["drift"] >= 1
+    # r6: stage 0 consumes the pure-append probe's identity aggregate as
+    # its stats (the probe frame is _restrict_changed-built — its
+    # restriction is spy-verified by the pure-append test below), so
+    # _input_stats may legitimately never run here; its spy stays as a
+    # guard on any path that still reaches it.
+    assert calls["drift"] >= 1
     assert pipe._changed_buckets is None  # seam reset after the run
     assert len(clusters) == N + 2
 
