@@ -889,6 +889,26 @@ class NDDPipeline:
         old_rep_sigs = reps_tbl.select("url", "bands", "simhash")
         cands, flagged = delta_lsh_candidates(old_rep_sigs, new_reps, cfg)
         cands = cands.localCheckpoint()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=5) as pool:
+            self._stage2_apply_append_tail(
+                pool, cat, cfg, cands, flagged, exact_edges, new_sigs,
+                new_reps, n_new, h, t0,
+            )
+        return new_reps.select("url")
+
+    def _stage2_apply_append_tail(
+        self, pool, cat, cfg, cands, flagged, exact_edges, new_sigs,
+        new_reps, n_new, h, t0,
+    ) -> None:
+        """Compute/write tail of ``_stage2_apply_append``, run inside its
+        write pool's scope so an exception anywhere still joins the pool."""
+        # the flagged metric only has to COMPLETE before the appends below
+        # mutate the tables its lineage reads from (stale file-listing
+        # hazard) — submit it now so it runs UNDER the shingle-set/verify
+        # chain instead of as a serial step after it (guide §2.6)
+        flagged_future = pool.submit(flagged.count)
         sets = candidate_shingle_sets(
             cands, self.pages_table(), cfg
         ).localCheckpoint()
@@ -902,32 +922,37 @@ class NDDPipeline:
         # appends are genuinely new, and updates' old edges are retraction-
         # governed before this append runs)
         self._appended_edges = appended_pairs.select("url_a", "url_b")
-        # evaluate the flagged metric BEFORE the appends below mutate the
-        # tables its lineage reads from (stale file-listing hazard)
-        n_flagged = flagged.count()
+        # the flagged metric must have COMPLETED before the appends below
+        # mutate the tables its lineage reads from (stale file-listing
+        # hazard) — join the overlapped job here
+        n_flagged = flagged_future.result()
         # marker up across the multi-table appends (no atomic commit): a
         # crash anywhere below leaves it set, so every later delta entry
         # refuses and the idempotent full rebuild takes over
         self._set_marker("delta.inflight")
-        # stage-3 append log FIRST: a crash between the log write and the
-        # pairs append leaves an over-complete log (retry re-appends → the
-        # log dedups on read) — the reverse order could commit pairs whose
-        # edges the log never saw, and stage 3's delta would miss them
-        cat.write(
-            appended_pairs.select("url_a", "url_b"), "edges_new", mode="append"
-        )
-        # the remaining four appends are order-free among themselves: the
-        # inflight marker (set above, cleared only after mark_complete)
-        # already routes ANY partial combination to the idempotent full
-        # rebuild, and the one ordering that adds a guarantee beyond the
-        # marker — log before pairs — is preserved by the barrier above.
-        # They read only materialized inputs, so run them from a pool
-        # (guide §2.6).
-        from concurrent.futures import ThreadPoolExecutor
+
+        # stage-3 append log BEFORE the pairs append: a crash between the
+        # log write and the pairs append leaves an over-complete log (retry
+        # re-appends → the log dedups on read) — the reverse order could
+        # commit pairs whose edges the log never saw, and stage 3's delta
+        # would miss them. That pairwise barrier is the ONLY ordering that
+        # adds a guarantee beyond the marker, so it runs as one chained
+        # task while the other three appends — order-free among themselves
+        # and vs the log (the inflight marker, set above and cleared only
+        # after mark_complete, routes ANY partial combination to the
+        # idempotent full rebuild) — overlap it from the same pool (guide
+        # §2.6; r6: the log write was a serial step ahead of the pool).
+        def log_then_pairs():
+            cat.write(
+                appended_pairs.select("url_a", "url_b"),
+                "edges_new",
+                mode="append",
+            )
+            cat.write(self._stamp_era(appended_pairs), "pairs", mode="append")
 
         writes = (
+            log_then_pairs,
             lambda: cat.write(new_sigs.select("url"), "urls_new", mode="append"),
-            lambda: cat.write(self._stamp_era(appended_pairs), "pairs", mode="append"),
             lambda: cat.write(
                 self._stamp_era(
                     new_reps.select("url", "fp", "bands", "simhash")
@@ -945,9 +970,8 @@ class NDDPipeline:
                 mode="append",
             ),
         )
-        with ThreadPoolExecutor(max_workers=4) as pool:
-            for _ in pool.map(lambda w: w(), writes):
-                pass
+        for _ in pool.map(lambda w: w(), writes):
+            pass
         wall_ms = int((time.monotonic() - t0) * 1000)
         n_pairs = cat.count_rows("pairs")
         cat.mark_complete("pairs", h, {-1: n_pairs}, wall_ms)
@@ -961,7 +985,6 @@ class NDDPipeline:
                 "wall_ms": wall_ms,
             },
         )
-        return new_reps.select("url")
 
     # ---------- targeted retraction (edit/delete delta) ----------
 
@@ -1532,6 +1555,25 @@ class NDDPipeline:
         cands, flagged = delta_window_candidates(
             self.stage_view("window_index"), new_windows, cfg
         )
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            self._stage2b_apply_append_tail(
+                pool, cat, cfg, cands, flagged, new_windows, new_urls,
+                prior_edges, n_new, h, t0,
+            )
+
+    def _stage2b_apply_append_tail(
+        self, pool, cat, cfg, cands, flagged, new_windows, new_urls,
+        prior_edges, n_new, h, t0,
+    ) -> None:
+        """Prune/verify/write tail of ``_stage2b_apply_append``, run inside
+        its write pool's scope so an exception anywhere still joins the
+        pool. The flagged metric only has to COMPLETE before the appends
+        mutate the tables its lineage reads from — submit it now so it runs
+        UNDER the prune + LCS-verify chain instead of as a serial step
+        after it (guide §2.6)."""
+        flagged_future = pool.submit(flagged.count)
         # already-verified pairs (stage 2 or earlier 2b runs) skip the LCS.
         if prior_edges is not None:
             # verified-threaded path: ``prior_edges`` is the SAME run's
@@ -1572,20 +1614,24 @@ class NDDPipeline:
             ).localCheckpoint()
         hits = verify_substring_pairs(cands, self.pages_table(), cfg)
         hits = hits.localCheckpoint()  # two consumers: log + table append
-        n_flagged = flagged.count()
+        # must have COMPLETED before the appends below mutate the tables
+        # its lineage reads from (stale file-listing hazard)
+        n_flagged = flagged_future.result()
         self._set_marker("delta.inflight")
-        # stage-3 append log before the table append (same crash ordering
-        # rule as the stage-2 delta: over-logging is safe, under-logging not)
-        cat.write(hits.select("url_a", "url_b"), "edges_new", mode="append")
-        # order-free among themselves once the log is down (the inflight
-        # marker routes any partial state to the full rebuild) — pooled,
-        # same rationale as the stage-2 append core (guide §2.6)
-        from concurrent.futures import ThreadPoolExecutor
+
+        # stage-3 append log BEFORE the substring_pairs append (same crash
+        # ordering rule as the stage-2 delta: over-logging is safe,
+        # under-logging not) — the only pairwise barrier beyond the marker,
+        # run as one chained task; window_index/seen_2b are order-free (the
+        # inflight marker routes any partial state to the full rebuild) and
+        # overlap it from the same pool (guide §2.6; r6: the log write was
+        # a serial step ahead of the pool).
+        def log_then_table():
+            cat.write(hits.select("url_a", "url_b"), "edges_new", mode="append")
+            cat.write(self._stamp_era(hits), "substring_pairs", mode="append")
 
         writes = (
-            lambda: cat.write(
-                self._stamp_era(hits), "substring_pairs", mode="append"
-            ),
+            log_then_table,
             lambda: cat.write(
                 self._stamp_era(new_windows), "window_index", mode="append"
             ),
@@ -1597,9 +1643,8 @@ class NDDPipeline:
                 mode="append",
             ),
         )
-        with ThreadPoolExecutor(max_workers=3) as pool:
-            for _ in pool.map(lambda w: w(), writes):
-                pass
+        for _ in pool.map(lambda w: w(), writes):
+            pass
         wall_ms = int((time.monotonic() - t0) * 1000)
         n = cat.count_rows("substring_pairs")
         cat.mark_complete("substring_pairs", h, {-1: n}, wall_ms)
