@@ -2510,16 +2510,17 @@ class NDDPipeline:
         if n_new == 0:
             return self.clusters_view()
 
-        # ---- stage 0: append rows, advance lineage by the batch delta ----
+        # ---- stages 0 + 1, overlapped (guide §2.6; r6 second pass): the
+        # pages append/commit and the batch signing both read only the
+        # checkpointed batch and mutate DIFFERENT tables under the
+        # delta.inflight marker, which routes any partial combination to
+        # the idempotent full heal — the relative order of the two lineage
+        # commits adds no guarantee (either partial order trips the
+        # signatures-lag-pages precondition and heals). Both joined before
+        # the stage-2 run hash is computed, since that hash is derived
+        # from the advanced lineage.
         t0 = time.monotonic()
         self._set_marker("delta.inflight")
-        cat.write(
-            self._stamp_era(new_rows.drop("h")),
-            "pages",
-            partition_by=["bucket"],
-            mode="append",
-            max_records_per_file=2048,
-        )
         merged = {
             b: (
                 pstats.get(b, (0, 0))[0] + d[0],
@@ -2527,63 +2528,80 @@ class NDDPipeline:
             )
             for b, d in delta_stats.items()
         }
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        cat.mark_complete(
-            "pages",
-            h1,
-            {b: m[0] for b, m in merged.items()},
-            wall_ms,
-            checksums={b: m[1] for b, m in merged.items()},
-        )
-        cat.add_metrics(
-            "pages",
-            {
-                "buckets_appended": len(merged),
-                "buckets_rewritten": 0,
-                "appended_docs_ingested": n_new,
-                "wall_ms": wall_ms,
-            },
-        )
 
-        # ---- stage 1: sign ONLY the batch (partitions stay bucket-pure
-        # through the Arrow map, so the partitioned append is fan-out-free)
-        t0 = time.monotonic()
-        new_sigs = (
-            new_rows.select("url", "text")
-            .mapInPandas(signature_map_fn(cfg), schema=SIGNATURE_SCHEMA)
-            .withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("url"), F.lit(cfg.num_buckets)).cast("int"),
+        def stage0_commit():
+            cat.write(
+                self._stamp_era(new_rows.drop("h")),
+                "pages",
+                partition_by=["bucket"],
+                mode="append",
+                max_records_per_file=2048,
             )
-            .localCheckpoint()
-        )
-        cat.write(
-            self._stamp_era(new_sigs),
-            "signatures",
-            partition_by=["bucket"],
-            mode="append",
-            max_records_per_file=2048,
-        )
-        wall_ms = int((time.monotonic() - t0) * 1000)
-        cat.mark_complete(
-            "signatures",
-            h1,
-            {b: m[0] for b, m in merged.items()},
-            wall_ms,
-            checksums={b: m[1] for b, m in merged.items()},
-        )
-        cat.add_metrics(
-            "signatures",
-            {
-                "buckets_computed": 0,
-                "buckets_appended": len(merged),
-                "appended_docs_signed": n_new,
-                "wall_ms": wall_ms,
-            },
-        )
+            wall_ms = int((time.monotonic() - t0) * 1000)
+            cat.mark_complete(
+                "pages",
+                h1,
+                {b: m[0] for b, m in merged.items()},
+                wall_ms,
+                checksums={b: m[1] for b, m in merged.items()},
+            )
+            cat.add_metrics(
+                "pages",
+                {
+                    "buckets_appended": len(merged),
+                    "buckets_rewritten": 0,
+                    "appended_docs_ingested": n_new,
+                    "wall_ms": wall_ms,
+                },
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            stage0_future = pool.submit(stage0_commit)
+            # stage 1: sign ONLY the batch (partitions stay bucket-pure
+            # through the Arrow map, so the partitioned append is
+            # fan-out-free)
+            t1 = time.monotonic()
+            new_sigs = (
+                new_rows.select("url", "text")
+                .mapInPandas(signature_map_fn(cfg), schema=SIGNATURE_SCHEMA)
+                .withColumn(
+                    "bucket",
+                    F.pmod(
+                        F.xxhash64("url"), F.lit(cfg.num_buckets)
+                    ).cast("int"),
+                )
+                .localCheckpoint()
+            )
+            cat.write(
+                self._stamp_era(new_sigs),
+                "signatures",
+                partition_by=["bucket"],
+                mode="append",
+                max_records_per_file=2048,
+            )
+            wall_ms = int((time.monotonic() - t1) * 1000)
+            cat.mark_complete(
+                "signatures",
+                h1,
+                {b: m[0] for b, m in merged.items()},
+                wall_ms,
+                checksums={b: m[1] for b, m in merged.items()},
+            )
+            cat.add_metrics(
+                "signatures",
+                {
+                    "buckets_computed": 0,
+                    "buckets_appended": len(merged),
+                    "appended_docs_signed": n_new,
+                    "wall_ms": wall_ms,
+                },
+            )
+            stage0_future.result()
 
         # ---- stages 2 / 2b / 3: the shared delta append cores ----
-        h2 = self.stage2_run_hash()  # AFTER the stage-1 lineage advance
+        h2 = self.stage2_run_hash()  # AFTER the stage-0/1 lineage advances
         new_rep_urls = self._stage2_apply_append(
             new_sigs.select("url", "fp", "bands", "simhash"),
             n_new,
@@ -3068,20 +3086,29 @@ class NDDPipeline:
                 ),
                 pa.schema([("url", pa.string()), ("era", pa.int64())]),
             )
-            cat.write(
-                self._stamp_era(new_rows.drop("h")),
-                "pages",
-                partition_by=["bucket"],
-                mode="append",
-                max_records_per_file=2048,
+            # the two appends are order-free (different tables, both under
+            # the marker — any partial combination heals) — pooled (§2.6)
+            from concurrent.futures import ThreadPoolExecutor
+
+            appends = (
+                lambda: cat.write(
+                    self._stamp_era(new_rows.drop("h")),
+                    "pages",
+                    partition_by=["bucket"],
+                    mode="append",
+                    max_records_per_file=2048,
+                ),
+                lambda: cat.write(
+                    self._stamp_era(new_sigs),
+                    "signatures",
+                    partition_by=["bucket"],
+                    mode="append",
+                    max_records_per_file=2048,
+                ),
             )
-            cat.write(
-                self._stamp_era(new_sigs),
-                "signatures",
-                partition_by=["bucket"],
-                mode="append",
-                max_records_per_file=2048,
-            )
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                for _ in pool.map(lambda w: w(), appends):
+                    pass
         wall_ms = int((time.monotonic() - t0) * 1000)
         for table in ("pages", "signatures"):
             cat.mark_complete(
