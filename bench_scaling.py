@@ -126,7 +126,10 @@ def main() -> None:
     # args for other pairs.
     lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     hi = int(sys.argv[3]) if len(sys.argv) > 3 else 16
-    work = "/tmp/ndd_scaling"
+    # NDD_SCALING_WORK relocates the seed/catalog dirs (e.g. /dev/shm to
+    # take the single shared virtio disk out of the shuffle/checkpoint
+    # path, together with SPARK_LOCAL_DIRS — round-5 verdict item #2)
+    work = os.environ.get("NDD_SCALING_WORK", "/tmp/ndd_scaling")
     shutil.rmtree(work, ignore_errors=True)
     os.makedirs(work)
 
