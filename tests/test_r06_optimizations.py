@@ -232,3 +232,42 @@ def test_mixed_edit_delete_append_single_snapshot_matches_full(
         .toPandas()
     )
     assert _partition(clusters) == _partition(full)
+
+
+def test_inferred_path_never_recomputes_input_stats(
+    spark, tmp_path_factory, monkeypatch
+):
+    """r6 second pass: run_incremental's slow path must consume the
+    pure-append probe's identity aggregate as stage 0's stats instead of
+    re-evaluating the snapshot through _input_stats (one full pass, not
+    two). Spy-pinned so a refactor that silently reintroduces the second
+    pass fails here."""
+    from pyspark.sql import functions as F
+
+    from near_duplicate_detection_spark.sources.pages import generate_pages
+
+    cfg = NDDConfig(num_buckets=4)
+    base = str(tmp_path_factory.mktemp("ndd_stats_hint"))
+    pipe = NDDPipeline(spark, cfg, base)
+    pipe.run(generate_pages(spark, 100))
+
+    calls = {"stats": 0}
+    orig = NDDPipeline._input_stats
+
+    def spy(self, pages):
+        calls["stats"] += 1
+        return orig(self, pages)
+
+    monkeypatch.setattr(NDDPipeline, "_input_stats", spy)
+    snapshot = generate_pages(spark, 100).withColumn(
+        "text",
+        F.when(
+            F.col("url").endswith("0020"),
+            F.concat(F.col("text"), F.lit(" hint edited")),
+        ).otherwise(F.col("text")),
+    )
+    clusters = pipe.run_incremental(snapshot).toPandas()
+    assert len(clusters) == 100
+    assert calls["stats"] == 0, (
+        "inferred path re-ran _input_stats despite the probe's aggregate"
+    )
